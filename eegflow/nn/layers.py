@@ -1,0 +1,67 @@
+"""Functional building blocks: dense, layer-norm, dropout.
+
+Params are plain nested dicts of jnp arrays (a pytree), applied by pure
+functions — the idiomatic JAX shape for a model this size, and what lets the
+train step jit/shard cleanly. Initialization follows torch defaults so
+numerics are comparable with the reference:
+Linear: W, b ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dense_init(key: jax.Array, in_dim: int, out_dim: int) -> Dict[str, jnp.ndarray]:
+    k_w, k_b = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(in_dim)
+    return {
+        "w": jax.random.uniform(k_w, (in_dim, out_dim), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(k_b, (out_dim,), jnp.float32, -bound, bound),
+    }
+
+
+def dense_apply(
+    params: Dict[str, jnp.ndarray], x: jnp.ndarray, compute_dtype=None
+) -> jnp.ndarray:
+    """x @ W + b. With ``compute_dtype=bfloat16`` the matmul runs on the MXU in
+    bf16 with float32 accumulation; params stay float32."""
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        y = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+    else:
+        y = jnp.dot(x, w)
+    return y + b
+
+
+def layer_norm_init(dim: int) -> Dict[str, jnp.ndarray]:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm_apply(
+    params: Dict[str, jnp.ndarray], x: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    norm = (x - mean) * jax.lax.rsqrt(var + eps)
+    return norm * params["scale"] + params["bias"]
+
+
+def dropout(
+    x: jnp.ndarray, rate: float, key: Optional[jax.Array], train: bool
+) -> jnp.ndarray:
+    """Inverted dropout; identity when not training or rate==0."""
+    if not train or rate <= 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch nn.GELU default, unlike jax.nn.gelu's tanh approx."""
+    return jax.nn.gelu(x, approximate=False)
