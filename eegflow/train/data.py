@@ -1,0 +1,96 @@
+"""Host-side data plumbing: class weighting, weighted sampling, augmentation,
+static-shape batching.
+
+The reference uses a ``WeightedRandomSampler`` + 8 DataLoader worker processes
+(ref 04_lstm_model.py:336-403). On TPU the whole (augmented) dataset is a
+single HBM-resident array; an epoch is one host-side index draw + jitted
+steps over static-shape batches — no worker processes, no per-batch H2D copies
+beyond the sharded device_put.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def class_weight_array(y: np.ndarray, num_classes: int = 2) -> np.ndarray:
+    """Loss class weights: 1/count, normalized to sum 2 (ref 04:429-432)."""
+    counts = np.bincount(y, minlength=num_classes).astype(np.float64)
+    counts = np.maximum(counts, 1)
+    w = 1.0 / counts
+    return (w / w.sum() * num_classes).astype(np.float32)
+
+
+def weighted_epoch_indices(
+    y: np.ndarray, rng: np.random.Generator, num_samples: Optional[int] = None
+) -> np.ndarray:
+    """WeightedRandomSampler semantics (ref 04:355-368): sample with
+    replacement, per-sample weight 1/count[class]."""
+    counts = np.bincount(y).astype(np.float64)
+    weights = 1.0 / counts[y]
+    p = weights / weights.sum()
+    n = num_samples if num_samples is not None else len(y)
+    return rng.choice(len(y), size=n, replace=True, p=p)
+
+
+def augment_data(
+    x: np.ndarray,
+    y: np.ndarray,
+    rng: np.random.Generator,
+    noise_std: float = 0.05,
+    max_shift: int = 5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """3x augmentation (ref 04:290-312): original + Gaussian noise + circular
+    time shift (per-sample random shift in [-max_shift, max_shift]).
+
+    Vectorized: the reference loops per sample; here the noise copy is one
+    draw and the shift copy is one gather. Deviation (documented): the
+    reference skips the shifted copy when shift==0 (~1/11 of samples); we keep
+    it for static shapes, so augmented size is exactly 3N.
+    """
+    n, t, c = x.shape
+    noise = x + rng.normal(0.0, noise_std, x.shape).astype(x.dtype)
+    shifts = rng.integers(-max_shift, max_shift + 1, size=n)
+    time_idx = (np.arange(t)[None, :] - shifts[:, None]) % t  # roll(+s) == gather(t-s)
+    shifted = np.take_along_axis(x, time_idx[:, :, None], axis=1)
+    x_aug = np.concatenate([x, noise, shifted], axis=0)
+    y_aug = np.concatenate([y, y, y], axis=0)
+    return x_aug, y_aug
+
+
+def batch_iterator(
+    x: np.ndarray,
+    y: np.ndarray,
+    batch_size: int,
+    indices: Optional[np.ndarray] = None,
+    drop_last: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield static-shape batches; optionally from a sampled index order."""
+    idx = indices if indices is not None else np.arange(len(y))
+    n_full = len(idx) // batch_size
+    for i in range(n_full):
+        sel = idx[i * batch_size : (i + 1) * batch_size]
+        yield x[sel], y[sel]
+    if not drop_last and len(idx) % batch_size:
+        sel = idx[n_full * batch_size :]
+        yield x[sel], y[sel]
+
+
+def padded_eval_batches(
+    x: np.ndarray, y: np.ndarray, batch_size: int
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Static-shape eval batches with a validity mask (last batch zero-padded),
+    so jit sees one shape and metrics stay exact."""
+    n = len(y)
+    for i in range(0, n, batch_size):
+        xb = x[i : i + batch_size]
+        yb = y[i : i + batch_size]
+        k = len(yb)
+        if k < batch_size:
+            pad = batch_size - k
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+            yb = np.concatenate([yb, np.zeros(pad, yb.dtype)])
+        mask = np.arange(batch_size) < k
+        yield xb, yb, mask

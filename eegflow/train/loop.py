@@ -1,0 +1,183 @@
+"""Training loop: weighted sampling, bf16 jitted steps, F1 early stopping.
+
+Mirrors ``train_model`` (ref 04_lstm_model.py:406-595) — same schedule, class
+weights, accumulation semantics, early-stop-on-val-F1 with best-state restore,
+and history dict — but each optimizer micro-step is one fused XLA program and
+the batch can be sharded over a device mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eegflow.analyze.evaluate import f1_binary
+from eegflow.core.config import ModelConfig, TrainConfig
+from eegflow.nn.model import classifier_init
+from eegflow.train.data import (
+    batch_iterator,
+    class_weight_array,
+    padded_eval_batches,
+    weighted_epoch_indices,
+)
+from eegflow.train.mesh import replicate_to_mesh, shard_batch
+from eegflow.train.steps import TrainState, make_eval_step, make_optimizer, make_train_step
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    history: Dict[str, list]
+    best_val_f1: float
+    epochs_run: int
+    wall_time_s: float
+    windows_per_sec: float = 0.0
+
+
+def predict_probs(
+    params: Any,
+    x: np.ndarray,
+    model_cfg: ModelConfig,
+    batch_size: int = 1024,
+    bf16: bool = True,
+    eval_step=None,
+) -> np.ndarray:
+    """Batched inference -> (N, num_classes) probabilities."""
+    step = eval_step or make_eval_step(model_cfg, bf16=bf16)
+    out = []
+    for xb, _, mask in padded_eval_batches(x, np.zeros(len(x), np.int64), batch_size):
+        probs = np.asarray(step(params, jnp.asarray(xb)))
+        out.append(probs[mask])
+    return np.concatenate(out, axis=0) if out else np.empty((0, model_cfg.num_classes))
+
+
+def train_classifier(
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    x_val: np.ndarray,
+    y_val: np.ndarray,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    mesh=None,
+    verbose: bool = True,
+) -> TrainResult:
+    """Full training run; returns best params + history (ref 04:406-595)."""
+    t_start = time.time()
+    rng = np.random.default_rng(train_cfg.seed)
+    root_key = jax.random.key(train_cfg.seed)
+
+    params = classifier_init(jax.random.fold_in(root_key, 0), model_cfg)
+
+    batches_per_epoch = max(1, len(y_train) // train_cfg.batch_size)
+    updates_per_epoch = max(1, batches_per_epoch // max(train_cfg.accumulation_steps, 1))
+    tx = make_optimizer(train_cfg, updates_per_epoch)
+    opt_state = tx.init(params)
+    state = TrainState(params, opt_state, jnp.asarray(0))
+
+    cw = class_weight_array(y_train, model_cfg.num_classes)
+    step = make_train_step(model_cfg, train_cfg, tx, class_weights=cw, mesh=mesh)
+    eval_step = make_eval_step(model_cfg, bf16=train_cfg.bf16,
+                               class_weights=jnp.asarray(cw))
+
+    if mesh is not None:
+        state = replicate_to_mesh(state, mesh)
+
+    history: Dict[str, list] = {
+        "train_loss": [], "val_loss": [], "train_acc": [], "val_acc": [],
+        "val_f1": [], "learning_rates": [], "epoch_time_s": [],
+    }
+    from eegflow.train.schedule import lr_trace
+
+    lrs = lr_trace(train_cfg.learning_rate, train_cfg.epochs, train_cfg.warmup_epochs)
+
+    best_f1 = 0.0
+    best_params = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+    no_improve = 0
+    epochs_run = 0
+    total_windows = 0
+    step_time = 0.0
+
+    for epoch in range(train_cfg.epochs):
+        ep_start = time.time()
+        if train_cfg.weighted_sampling:
+            indices = weighted_epoch_indices(y_train, rng)
+        else:
+            indices = rng.permutation(len(y_train))
+
+        ep_loss, ep_correct, ep_count = 0.0, 0, 0
+        for b_idx, (xb, yb) in enumerate(
+            batch_iterator(x_train, y_train, train_cfg.batch_size, indices)
+        ):
+            key = jax.random.fold_in(root_key, epoch * 100003 + b_idx + 1)
+            xb_j, yb_j = jnp.asarray(xb), jnp.asarray(yb)
+            if mesh is not None:
+                xb_j, yb_j = shard_batch((xb_j, yb_j), mesh)
+            t0 = time.time()
+            state, metrics = step(state, xb_j, yb_j, key)
+            ep_loss += float(metrics["loss"]) * len(yb)
+            step_time += time.time() - t0
+            ep_correct += int(metrics["correct"])
+            ep_count += len(yb)
+            total_windows += len(yb)
+
+        # validation (padded static-shape batches)
+        val_probs = predict_probs(state.params, x_val, model_cfg,
+                                  train_cfg.eval_batch_size, train_cfg.bf16,
+                                  eval_step)
+        val_pred = val_probs.argmax(axis=1)
+        val_f1 = f1_binary(y_val, val_pred)
+        val_acc = float((val_pred == y_val).mean()) if len(y_val) else 0.0
+        eps = 1e-12
+        val_loss = float(
+            -np.log(np.clip(val_probs[np.arange(len(y_val)), y_val], eps, 1)).mean()
+        ) if len(y_val) else 0.0
+
+        epoch_time = time.time() - ep_start
+        history["train_loss"].append(ep_loss / max(ep_count, 1))
+        history["val_loss"].append(val_loss)
+        history["train_acc"].append(ep_correct / max(ep_count, 1))
+        history["val_acc"].append(val_acc)
+        history["val_f1"].append(val_f1)
+        history["learning_rates"].append(float(lrs[epoch]))
+        history["epoch_time_s"].append(epoch_time)
+        epochs_run = epoch + 1
+
+        if verbose and ((epoch + 1) % 5 == 0 or epoch == 0
+                        or epoch == train_cfg.warmup_epochs - 1):
+            print(
+                f"Epoch [{epoch+1:3d}/{train_cfg.epochs}] | "
+                f"Loss: {history['train_loss'][-1]:.4f}/{val_loss:.4f} | "
+                f"Acc: {history['train_acc'][-1]:.4f}/{val_acc:.4f} | "
+                f"F1: {val_f1:.4f} | LR: {lrs[epoch]:.2e} | "
+                f"Time: {epoch_time:.1f}s",
+                flush=True,
+            )
+
+        # early stopping on val F1 (ref 04:572-584)
+        if val_f1 > best_f1:
+            best_f1 = val_f1
+            best_params = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+            no_improve = 0
+        else:
+            no_improve += 1
+        if no_improve >= train_cfg.patience:
+            if verbose:
+                print(f"Early stopping at epoch {epoch + 1} "
+                      f"(no improvement for {train_cfg.patience} epochs)", flush=True)
+            break
+
+    wall = time.time() - t_start
+    wps = total_windows / step_time if step_time > 0 else 0.0
+    return TrainResult(
+        params=best_params,
+        history=history,
+        best_val_f1=best_f1,
+        epochs_run=epochs_run,
+        wall_time_s=wall,
+        windows_per_sec=wps,
+    )
