@@ -1,0 +1,136 @@
+"""KernelSHAP, reimplemented (the ``shap`` package is torch/CPU-oriented and
+not available; the algorithm is reimplemented natively).
+
+Reference usage (07_explainability.py:364-508): windows are collapsed to
+per-channel time-means (B, T, C) -> (B, C); a background of 100 samples and
+200 explained samples; the prediction function tiles channel vectors back
+across time; KernelExplainer(nsamples=100); class-1 SHAP values; mean |SHAP|
+per channel. That path took ~54 minutes because every coalition evaluation
+was a separate GPU round-trip — here ALL (coalition x background) model
+evaluations for a sample are one batched jitted forward.
+
+Algorithm (Lundberg & Lee 2017): sample coalitions z in {0,1}^C from the
+Shapley kernel (size s with prob ~ (C-1)/(s(C-s)), pairing each subset with
+its complement), estimate v(z) = E_bg[f(z*x + (1-z)*bg)], then solve the
+constrained weighted least squares with sum(phi) = f(x) - E_bg[f(bg)] by
+eliminating the last feature.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+
+def _sample_coalitions(rng: np.random.RandomState, n_features: int, nsamples: int) -> np.ndarray:
+    """Coalition masks from the Shapley kernel, complements paired."""
+    c = n_features
+    sizes = np.arange(1, c)
+    probs = (c - 1) / (sizes * (c - sizes))
+    probs = probs / probs.sum()
+    masks = []
+    while len(masks) < nsamples:
+        s = rng.choice(sizes, p=probs)
+        members = rng.choice(c, size=s, replace=False)
+        z = np.zeros(c, dtype=np.float64)
+        z[members] = 1.0
+        masks.append(z)
+        if len(masks) < nsamples:
+            masks.append(1.0 - z)  # paired complement (variance reduction)
+    return np.asarray(masks[:nsamples])
+
+
+def kernel_shap_values(
+    f_batch: Callable[[np.ndarray], np.ndarray],
+    x_explain: np.ndarray,
+    background: np.ndarray,
+    nsamples: int = 100,
+    seed: int = 42,
+) -> np.ndarray:
+    """SHAP values (n_explain, C) for a scalar-output model ``f_batch``.
+
+    ``f_batch`` maps (N, C) feature rows to (N,) outputs and is called once
+    per explained sample with the full (nsamples * n_background, C) matrix.
+    """
+    rng = np.random.RandomState(seed)
+    x_explain = np.asarray(x_explain, np.float64)
+    background = np.asarray(background, np.float64)
+    n_explain, c = x_explain.shape
+    nb = background.shape[0]
+
+    phi0 = float(np.mean(f_batch(background)))
+    fx_all = np.asarray(f_batch(x_explain), np.float64)
+
+    shap_values = np.zeros((n_explain, c))
+    z = _sample_coalitions(rng, c, nsamples)  # (M, C)
+
+    for i in range(n_explain):
+        x = x_explain[i]
+        # synthetic inputs: for each coalition, x where z=1 else background rows
+        synth = np.where(
+            z[:, None, :] > 0, x[None, None, :], background[None, :, :]
+        ).reshape(-1, c)  # (M*nb, C)
+        v = np.asarray(f_batch(synth), np.float64).reshape(nsamples, nb).mean(axis=1)
+
+        fx = fx_all[i]
+        # eliminate last feature via the sum constraint
+        target = v - phi0 - z[:, -1] * (fx - phi0)
+        design = z[:, :-1] - z[:, -1:]
+        coef, *_ = np.linalg.lstsq(design, target, rcond=None)
+        phi = np.empty(c)
+        phi[:-1] = coef
+        phi[-1] = (fx - phi0) - coef.sum()
+        shap_values[i] = phi
+    return shap_values
+
+
+def kernel_shap_channel_importance(
+    params,
+    model_cfg,
+    x: np.ndarray,
+    n_background: int = 100,
+    n_explain: int = 200,
+    nsamples: int = 100,
+    seq_len: Optional[int] = None,
+    seed: int = 42,
+    channel_names: Optional[Sequence[str]] = None,
+    batch_size: int = 4096,
+) -> Dict[str, object]:
+    """Channel importance via KernelSHAP on time-mean-collapsed windows
+    (ref 07:364-508). Returns mean |SHAP| per channel plus raw values."""
+    import jax.numpy as jnp
+
+    from eegflow.train.loop import predict_probs
+
+    rng = np.random.RandomState(seed)
+    t = seq_len or x.shape[1]
+    collapsed = x.mean(axis=1)  # (N, C) time-mean collapse (ref 07:411-414)
+
+    bg_idx = rng.choice(len(collapsed), min(n_background, len(collapsed)),
+                        replace=False)
+    ex_idx = rng.choice(len(collapsed), min(n_explain, len(collapsed)),
+                        replace=False)
+    background = collapsed[bg_idx]
+    explain = collapsed[ex_idx]
+
+    def f_batch(feat_rows: np.ndarray) -> np.ndarray:
+        tiled = np.repeat(feat_rows[:, None, :], t, axis=1).astype(np.float32)
+        probs = predict_probs(params, tiled, model_cfg, batch_size)
+        return probs[:, 1]  # class-1 (eyes closed) probability
+
+    values = kernel_shap_values(f_batch, explain, background, nsamples, seed)
+    importance = np.abs(values).mean(axis=0)
+    importance = importance / (importance.sum() + 1e-12)
+
+    names = list(channel_names) if channel_names else [
+        f"Ch{i+1}" for i in range(x.shape[2])
+    ]
+    order = np.argsort(-importance)
+    return {
+        "channels": names,
+        "importance": importance.tolist(),
+        "shap_values": values,
+        "ranking": [names[i] for i in order],
+        "method": "kernel_shap",
+    }

@@ -1,0 +1,134 @@
+"""Explainability tests: gradient attribution finds the informative channel,
+KernelSHAP recovers exact Shapley values on a linear model, permutation
+importance ranks signal channels, attention/ODE analytics contracts."""
+
+import jax
+import numpy as np
+import pytest
+
+from eegflow.core.config import ModelConfig, TrainConfig
+from eegflow.explain import (
+    analyze_attention_patterns,
+    analyze_ode_dynamics,
+    compare_importance_methods,
+    gradient_channel_importance,
+    kernel_shap_channel_importance,
+    kernel_shap_values,
+    permutation_channel_importance,
+)
+from eegflow.train import train_classifier
+
+TOY_CFG = ModelConfig(input_size=4, hidden_size=16, num_layers=1, dropout=0.1)
+
+
+@pytest.fixture(scope="module")
+def trained_toy(rng):
+    """Model trained on data where ONLY channel 2 is informative."""
+    n, t = 512, 32
+    y = (rng.random(n) > 0.5).astype(np.int64)
+    x = rng.standard_normal((n, t, 4)).astype(np.float32)
+    wave = np.sin(2 * np.pi * np.arange(t) / 8.0).astype(np.float32)
+    x[y == 1, :, 2] += 2.5 * wave
+    cfg = TrainConfig(epochs=10, batch_size=64, eval_batch_size=128,
+                      accumulation_steps=1, learning_rate=3e-3, warmup_epochs=2,
+                      patience=10, bf16=False, augment=False)
+    res = train_classifier(x[:384], y[:384], x[384:], y[384:], TOY_CFG, cfg,
+                           verbose=False)
+    assert res.best_val_f1 > 0.8
+    return res.params, x, y
+
+
+def test_gradient_importance_finds_signal_channel(trained_toy):
+    params, x, y = trained_toy
+    res = gradient_channel_importance(params, TOY_CFG, x, n_samples=64)
+    imp = np.asarray(res["importance"])
+    assert imp.shape == (4,)
+    np.testing.assert_allclose(imp.sum(), 1.0, atol=1e-6)
+    assert res["ranking"][0] == "Ch3"  # channel index 2
+
+
+def test_permutation_importance_finds_signal_channel(trained_toy):
+    params, x, y = trained_toy
+    res = permutation_channel_importance(params, TOY_CFG, x, y,
+                                         n_permutations=3, n_samples=128)
+    imp = np.asarray(res["importance"])
+    assert np.argmax(imp) == 2
+    assert imp[2] > 0.1  # shuffling the signal channel hurts accuracy a lot
+    assert abs(res["baseline_accuracy"]) <= 1.0
+
+
+def test_kernel_shap_exact_on_linear_model(rng):
+    """For f(x)=w.x with independent background, exact Shapley values are
+    phi_j = w_j (x_j - mean(bg_j)); KernelSHAP must recover them."""
+    c = 6
+    w = rng.standard_normal(c)
+    bg = rng.standard_normal((50, c))
+    x = rng.standard_normal((3, c))
+
+    def f(rows):
+        return rows @ w
+
+    phi = kernel_shap_values(f, x, bg, nsamples=200, seed=0)
+    expected = w[None, :] * (x - bg.mean(0)[None, :])
+    np.testing.assert_allclose(phi, expected, atol=0.05, rtol=0.05)
+
+
+def test_kernel_shap_efficiency_property(rng):
+    """sum(phi) == f(x) - E[f(bg)] by construction (local accuracy)."""
+    c = 5
+    bg = rng.standard_normal((20, c))
+    x = rng.standard_normal((2, c))
+
+    def f(rows):
+        return np.tanh(rows).sum(axis=1)
+
+    phi = kernel_shap_values(f, x, bg, nsamples=150, seed=1)
+    lhs = phi.sum(axis=1)
+    rhs = f(x) - f(bg).mean()
+    np.testing.assert_allclose(lhs, rhs, atol=1e-8)
+
+
+def test_kernel_shap_channel_importance_pipeline(trained_toy):
+    params, x, y = trained_toy
+    res = kernel_shap_channel_importance(
+        params, TOY_CFG, x, n_background=20, n_explain=10, nsamples=40,
+    )
+    imp = np.asarray(res["importance"])
+    assert imp.shape == (4,)
+    np.testing.assert_allclose(imp.sum(), 1.0, atol=1e-6)
+    assert res["shap_values"].shape == (10, 4)
+
+
+def test_attention_analysis_contract(rng):
+    n, t = 100, 16
+    logits = rng.standard_normal((n, t))
+    attn = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    y = rng.integers(0, 2, n)
+    res = analyze_attention_patterns(attn, y)
+    assert len(res["mean_attention"]) == t
+    assert 0 <= res["entropy"] <= 1
+    assert "open_mean" in res and "closed_peak" in res
+    # near-uniform attention → entropy near 1
+    uniform = np.full((50, t), 1.0 / t)
+    assert analyze_attention_patterns(uniform, y[:50])["entropy"] > 0.999
+
+
+def test_ode_dynamics_interpretation():
+    params = {"k_ap": 0.02, "k_af": 0.095, "k_pa": 0.02, "k_pf": 0.626,
+              "k_fa": 0.139, "k_fp": 0.02}
+    res = analyze_ode_dynamics(params)
+    assert res["dominant_pathways"][0]["rate"] == "k_pf"
+    assert res["table"]["k_pf"]["time_constant"] == pytest.approx(1 / 0.626)
+    assert res["tendency"] == "fatigue"  # recovery 0.179 < fatigue 0.721
+
+
+def test_compare_importance_methods():
+    a = {"method": "gradient", "channels": ["c1", "c2", "c3"],
+         "importance": [0.6, 0.3, 0.1]}
+    b = {"method": "permutation", "channels": ["c1", "c2", "c3"],
+         "importance": [0.5, 0.4, 0.1]}
+    res = compare_importance_methods([a, b])
+    corr = np.asarray(res["correlation_matrix"])
+    assert corr.shape == (2, 2)
+    assert corr[0, 1] > 0.9
+    assert res["consensus_ranking"][0] == "c1"
