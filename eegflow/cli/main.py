@@ -1,0 +1,565 @@
+"""eegflow CLI — one entry point with subcommands mirroring the reference's
+numbered scripts (download/explore/preprocess/baselines/train/fit-ode/
+integrate/explain/forecast/ablate/export/all), plus `synth` to build the
+synthetic ds004148-shaped dataset used when the real one isn't on disk.
+
+Artifacts land under the reference's directory contract:
+  outputs/processed_data/  outputs/models/  outputs/results/  outputs/figures/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from eegflow.core.artifacts import (
+    load_checkpoint,
+    load_processed,
+    load_results,
+    save_checkpoint,
+    save_processed,
+    save_results,
+)
+from eegflow.core.config import ModelConfig, PipelineConfig
+
+
+def _paths(args) -> dict:
+    out = Path(args.output_dir)
+    p = {
+        "processed": out / "processed_data",
+        "models": out / "models",
+        "results": out / "results",
+        "figures": out / "figures",
+    }
+    for v in p.values():
+        v.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def _load_config(args) -> PipelineConfig:
+    if getattr(args, "config", None):
+        cfg = PipelineConfig.from_json(args.config)
+    else:
+        cfg = PipelineConfig()
+    return cfg
+
+
+def _load_splits(paths) -> dict:
+    arrays, meta = load_processed(paths["processed"] / "processed_sequences.npz")
+    return {k: np.asarray(v) for k, v in arrays.items()}, meta
+
+
+def cmd_synth(args):
+    from eegflow.data.synthetic import generate_synthetic_dataset
+
+    root = generate_synthetic_dataset(
+        args.data_dir, n_subjects=args.subjects, n_sessions=args.sessions,
+        duration_s=args.duration, n_channels=args.channels, seed=args.seed,
+    )
+    print(f"synthetic dataset written to {root}")
+
+
+def cmd_download(args):
+    from eegflow.data.download import download_all, test_single_download
+
+    if not args.yes:
+        print("This downloads ~10 GB from OpenNeuro S3. Pass -y to confirm.")
+        return 1
+    if not test_single_download(args.data_dir):
+        print("smoke-test download failed — check network access")
+        return 1
+    results = download_all(args.data_dir, n_subjects=args.subjects,
+                           parallel=args.parallel)
+    counts = {}
+    for r in results:
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    print(f"download complete: {counts}")
+
+
+def cmd_explore(args):
+    from eegflow.data.brainvision import read_brainvision
+    from eegflow.data.bids import discover_recordings
+    from eegflow.eda import (
+        analyze_recordings, basic_statistics, dataset_census,
+        generate_eda_report, spectral_summary,
+    )
+    from eegflow.viz import plot_sample_timeseries, plot_spectral_analysis
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    census = dataset_census(args.data_dir, cfg.data.max_subjects)
+    stats_rows = analyze_recordings(args.data_dir, n_sample=5,
+                                    max_subjects=cfg.data.max_subjects)
+    stats = basic_statistics(stats_rows)
+
+    spectral = None
+    recs = discover_recordings(args.data_dir, max_subjects=cfg.data.max_subjects)
+    open_rec = next((r for r in recs if r["label"] == 0), None)
+    closed_rec = next((r for r in recs if r["label"] == 1), None)
+    if open_rec and closed_rec:
+        open_data, header = read_brainvision(open_rec["vhdr_path"])
+        closed_data, _ = read_brainvision(closed_rec["vhdr_path"])
+        # prefer a posterior alpha-carrying channel, like the reference's O1
+        names_list = [c["name"] for c in header["channels"]]
+        ch = len(open_data) - 1
+        for want in ("O1", "Oz", "O2", "POz", "Pz"):
+            if want in names_list:
+                ch = names_list.index(want)
+                break
+        spectral = spectral_summary(open_data[ch], closed_data[ch],
+                                    header["sampling_rate"])
+        plot_spectral_analysis(spectral, paths["figures"] / "fig03_spectral")
+        names = [c["name"] for c in header["channels"]]
+        plot_sample_timeseries(open_data, header["sampling_rate"], names,
+                               paths["figures"] / "fig02_timeseries")
+
+    report = generate_eda_report(census, stats, spectral,
+                                 paths["results"] / "eda_report.md")
+    save_results(paths["results"] / "eda_summary.json",
+                 {"census": census, "statistics": stats,
+                  "alpha_ratio": spectral["alpha_closed_open_ratio"] if spectral else None})
+    print(report)
+
+
+def cmd_preprocess(args):
+    from eegflow.data.bids import discover_recordings
+    from eegflow.data.brainvision import read_brainvision
+    from eegflow.signal.preprocess import process_recordings, split_subjects
+    from eegflow.viz import plot_class_distribution
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    recs = discover_recordings(args.data_dir, cfg.data.tasks, cfg.data.max_subjects)
+    if not recs:
+        print(f"no recordings found under {args.data_dir}")
+        return 1
+    print(f"found {len(recs)} recordings "
+          f"({len({r['subject'] for r in recs})} subjects)")
+    splits = split_subjects(recs, cfg.preprocess.train_frac,
+                            cfg.preprocess.val_frac, cfg.preprocess.seed)
+
+    loaded = {}
+    for split in ("train", "val", "test"):
+        loaded[split] = []
+        for r in splits.get(split, []):
+            data, header = read_brainvision(r["vhdr_path"], cfg.data.crop_seconds)
+            loaded[split].append((r, data))
+    arrays, meta = process_recordings(loaded, cfg.preprocess)
+    meta["channel_names"] = [
+        c["name"] for c in read_brainvision(recs[0]["vhdr_path"])[1]["channels"]
+    ]
+    npz = save_processed(paths["processed"], arrays, meta)
+    plot_class_distribution(
+        {s: arrays[f"y_{s}"] for s in ("train", "val", "test")},
+        paths["figures"] / "fig01_class_distribution",
+    )
+    for s in ("train", "val", "test"):
+        print(f"  {s}: {arrays[f'X_{s}'].shape}")
+    print(f"saved {npz}")
+
+
+def cmd_baselines(args):
+    from eegflow.baselines.classical import run_all_baselines
+    from eegflow.viz import plot_baseline_comparison
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    arrays, meta = _load_splits(paths)
+    results = run_all_baselines(
+        arrays["X_train"], arrays["y_train"], arrays["X_val"], arrays["y_val"],
+        arrays["X_test"], arrays["y_test"],
+        fs=cfg.preprocess.sampling_rate, cache_dir=paths["models"],
+    )
+    save_results(paths["results"] / "baseline_results.json", results)
+    plot_baseline_comparison(results, paths["figures"] / "fig05_baselines")
+    for name, r in results.items():
+        print(f"  {name}: acc={r['accuracy']:.4f} f1={r['f1']:.4f} "
+              f"auc={r.get('auc', float('nan')):.4f}")
+
+
+def cmd_train(args):
+    import dataclasses
+
+    from eegflow.train import augment_data, train_classifier
+    from eegflow.train.loop import predict_probs
+    from eegflow.train.mesh import make_data_mesh
+    from eegflow.train.steps import make_eval_step
+    from eegflow.analyze.evaluate import evaluate_model
+    from eegflow.viz import plot_attention_weights, plot_training_history
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    arrays, meta = _load_splits(paths)
+    x_train, y_train = arrays["X_train"], arrays["y_train"]
+    x_val, y_val = arrays["X_val"], arrays["y_val"]
+    if len(y_val) == 0:  # carve 15% from train (ref 04:264-278)
+        n_val = max(1, int(0.15 * len(y_train)))
+        x_val, y_val = x_train[-n_val:], y_train[-n_val:]
+        x_train, y_train = x_train[:-n_val], y_train[:-n_val]
+
+    train_cfg = cfg.train
+    if args.epochs:
+        train_cfg = dataclasses.replace(train_cfg, epochs=args.epochs)
+    model_cfg = dataclasses.replace(cfg.model, input_size=x_train.shape[2])
+
+    if train_cfg.augment:
+        rng = np.random.default_rng(train_cfg.seed)
+        x_train, y_train = augment_data(x_train, y_train, rng,
+                                        train_cfg.noise_std, train_cfg.max_shift)
+        print(f"augmented train set: {x_train.shape}")
+
+    mesh = None
+    import jax
+
+    if len(jax.devices()) > 1:
+        mesh = make_data_mesh()
+        print(f"data-parallel mesh over {len(jax.devices())} devices")
+
+    res = train_classifier(x_train, y_train, x_val, y_val, model_cfg, train_cfg,
+                           mesh=mesh)
+    print(f"best val F1 {res.best_val_f1:.4f} in {res.epochs_run} epochs "
+          f"({res.wall_time_s:.0f}s, {res.windows_per_sec:.0f} windows/s)")
+
+    # test evaluation with attention capture
+    eval_attn = make_eval_step(model_cfg, bf16=train_cfg.bf16, return_attention=True)
+    import jax.numpy as jnp
+
+    probs_list, attn_list = [], []
+    for i in range(0, len(arrays["X_test"]), train_cfg.eval_batch_size):
+        xb = jnp.asarray(arrays["X_test"][i : i + train_cfg.eval_batch_size])
+        p, a = eval_attn(res.params, xb)
+        probs_list.append(np.asarray(p))
+        attn_list.append(np.asarray(a))
+    probs = np.concatenate(probs_list) if probs_list else np.empty((0, 2))
+    attention = np.concatenate(attn_list) if attn_list else np.empty((0, 1))
+    y_test = arrays["y_test"]
+    evaluation = evaluate_model(y_test, probs.argmax(1), probs[:, 1], "lstm_attention")
+    print(f"test acc={evaluation['accuracy']:.4f} f1={evaluation['f1']:.4f} "
+          f"auc={evaluation.get('auc', float('nan')):.4f}")
+
+    save_checkpoint(paths["models"] / "lstm_attention", res.params, model_cfg,
+                    history=res.history,
+                    extra={"best_val_f1": res.best_val_f1,
+                           "windows_per_sec": res.windows_per_sec})
+    save_results(paths["results"] / "lstm_results.json", evaluation)
+    np.save(paths["models"] / "attention_weights.npy", attention)
+    plot_training_history(res.history, paths["figures"] / "fig07_training")
+    if len(attention) and len(y_test):
+        plot_attention_weights(attention, y_test, paths["figures"] / "fig08_attention",
+                               cfg.preprocess.sampling_rate)
+
+
+def cmd_fit_ode(args):
+    from eegflow.fit import fit_ode_rates
+    from eegflow.ode import (
+        map_eye_state_to_cognitive, parameter_sensitivity, rates_to_array,
+        stability_analysis, steady_state,
+    )
+    from eegflow.ode.field import validate_rates
+    from eegflow.viz import plot_ode_analysis, plot_state_diagram
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    arrays, _ = _load_splits(paths)
+    eye_states = np.concatenate([arrays["y_train"], arrays["y_test"]])
+    cognitive, proportions = map_eye_state_to_cognitive(
+        eye_states, cfg.ode.map_window_size
+    )
+    print(f"{len(eye_states)} eye states -> {len(proportions)} proportion windows")
+    t = np.arange(len(proportions), dtype=np.float64)
+    rates, loss, info = fit_ode_rates(proportions, t, cfg.ode)
+    print(f"fitted rates: { {k: round(v, 4) for k, v in rates.items()} } "
+          f"loss={loss:.6f} ({info})")
+    validation = validate_rates(rates)
+    for w in validation["warnings"]:
+        print(f"  WARNING: {w}")
+
+    k = rates_to_array(rates)
+    analysis = {
+        "fitted_params": rates,
+        "fit_loss": loss,
+        "fit_info": info,
+        "steady_state": np.asarray(steady_state(k)).tolist(),
+        "stability": stability_analysis(k),
+        "sensitivity": parameter_sensitivity(k),
+        "validation": validation,
+    }
+    save_results(paths["results"] / "ode_results.json", analysis)
+    plot_ode_analysis(np.asarray(k), paths["figures"] / "fig10_ode_analysis",
+                      analysis["sensitivity"])
+    plot_state_diagram(rates, paths["figures"] / "fig11_state_diagram")
+
+
+def _load_coupled_model(paths, cfg):
+    from eegflow.couple import CoupledModel
+    from eegflow.ode import rates_to_array
+
+    params, model_cfg, _, _ = load_checkpoint(paths["models"] / "lstm_attention")
+    ode_results = load_results(paths["results"] / "ode_results.json")
+    return CoupledModel(
+        params=params, model_cfg=model_cfg,
+        k_base=rates_to_array(ode_results["fitted_params"]),
+        coupling=cfg.coupling,
+    )
+
+
+def cmd_integrate(args):
+    from eegflow.analyze.evaluate import evaluate_model
+    from eegflow.couple import coupling_strength_sweep, predict_batch
+    from eegflow.viz import plot_coupling_analysis, plot_trajectory_examples
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    arrays, _ = _load_splits(paths)
+    model = _load_coupled_model(paths, cfg)
+
+    t0 = time.time()
+    res = predict_batch(model, arrays["X_test"])
+    dt = time.time() - t0
+    n = len(arrays["y_test"])
+    print(f"coupled inference: {n} samples in {dt:.2f}s ({n / max(dt, 1e-9):.0f}/s)")
+
+    evaluation = evaluate_model(arrays["y_test"], res["pred_binary"],
+                                res["probs"][:, 1], "lstm_ode_integration")
+    print(f"integration acc={evaluation['accuracy']:.4f} f1={evaluation['f1']:.4f}")
+
+    sweep = coupling_strength_sweep(model, arrays["X_test"], arrays["y_test"],
+                                    cfg.coupling.sweep_alphas,
+                                    cfg.coupling.forecast_steps)
+    save_results(paths["results"] / "integration_results.json",
+                 {"evaluation": evaluation, "throughput_samples_per_sec": n / max(dt, 1e-9)})
+    save_results(paths["results"] / "coupling_analysis.json", sweep)
+    plot_coupling_analysis(sweep, paths["figures"] / "fig13_coupling")
+    plot_trajectory_examples(res["trajectories"], res["probs"],
+                             paths["figures"] / "fig14_trajectories")
+
+
+def cmd_explain(args):
+    from eegflow.explain import (
+        analyze_attention_patterns, analyze_ode_dynamics,
+        compare_importance_methods, gradient_channel_importance,
+        kernel_shap_channel_importance, permutation_channel_importance,
+    )
+    from eegflow.viz import plot_channel_importance, plot_importance_comparison
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    arrays, meta = _load_splits(paths)
+    params, model_cfg, _, _ = load_checkpoint(paths["models"] / "lstm_attention")
+    channel_names = (meta or {}).get("channel_names") or None
+    x_test, y_test = arrays["X_test"], arrays["y_test"]
+
+    grad = gradient_channel_importance(params, model_cfg, x_test,
+                                       channel_names=channel_names)
+    perm = permutation_channel_importance(params, model_cfg, x_test, y_test,
+                                          channel_names=channel_names)
+    methods = [grad, perm]
+    if not args.skip_shap:
+        shap_res = kernel_shap_channel_importance(
+            params, model_cfg, x_test, channel_names=channel_names,
+        )
+        np.save(paths["results"] / "shap_values.npy", shap_res["shap_values"])
+        methods.append({k: v for k, v in shap_res.items() if k != "shap_values"})
+
+    comparison = compare_importance_methods(methods)
+
+    attn_path = paths["models"] / "attention_weights.npy"
+    attention_analysis = None
+    if attn_path.exists():
+        attention = np.load(attn_path)
+        if len(attention) == len(y_test):
+            attention_analysis = analyze_attention_patterns(attention, y_test)
+
+    ode_analysis = None
+    ode_path = paths["results"] / "ode_results.json"
+    if ode_path.exists():
+        ode_analysis = analyze_ode_dynamics(load_results(ode_path)["fitted_params"])
+
+    summary = {
+        "gradient": {k: v for k, v in grad.items()},
+        "permutation": {k: v for k, v in perm.items()},
+        "comparison": {k: v for k, v in comparison.items() if k != "merged"},
+        "attention": attention_analysis,
+        "ode": ode_analysis,
+        "top_channels": comparison["consensus_ranking"][:10],
+    }
+    save_results(paths["results"] / "explainability_summary.json", summary)
+    plot_channel_importance(grad, paths["figures"] / "fig16_gradient_importance")
+    plot_channel_importance(perm, paths["figures"] / "fig17_permutation_importance")
+    plot_importance_comparison(comparison, paths["figures"] / "fig19_importance_comparison")
+    print(f"top channels: {summary['top_channels']}")
+
+
+def cmd_forecast(args):
+    from eegflow.analyze.forecast import (
+        evaluate_forecasts, multistep_forecast, rolling_forecast_evaluation,
+    )
+    from eegflow.ode import rates_to_array
+    from eegflow.train.loop import predict_probs
+    from eegflow.viz import plot_forecasting_results
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    arrays, _ = _load_splits(paths)
+    params, model_cfg, _, _ = load_checkpoint(paths["models"] / "lstm_attention")
+    ode_results = load_results(paths["results"] / "ode_results.json")
+    k = rates_to_array(ode_results["fitted_params"])
+
+    probs = predict_probs(params, arrays["X_test"], model_cfg,
+                          cfg.train.eval_batch_size)
+    horizons = (5, 10, 20)
+    results = multistep_forecast(probs[:, 1], k, horizons)
+    metrics = evaluate_forecasts(results, horizons)
+    rolling = rolling_forecast_evaluation(probs[:, 1], k)
+    save_results(paths["results"] / "forecasting_results.json",
+                 {"metrics": {str(h): m for h, m in metrics.items()},
+                  "rolling": rolling})
+    if metrics:
+        plot_forecasting_results(results, metrics, list(metrics),
+                                 paths["figures"] / "fig23_forecasting")
+    for h, m in metrics.items():
+        print(f"  h={h}: acc={m['accuracy']:.3f} mae={m['mae']:.3f} "
+              f"rho={m['correlation']:.3f}")
+
+
+def cmd_ablate(args):
+    from eegflow.analyze.ablation import (
+        analyze_component_contribution, compute_bootstrap_intervals,
+        run_architecture_ablation, run_statistical_comparison,
+    )
+    from eegflow.viz import plot_ablation_results
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    arrays, _ = _load_splits(paths)
+    results, predictions = run_architecture_ablation(
+        arrays["X_train"], arrays["y_train"], arrays["X_test"], arrays["y_test"],
+        hidden_size=args.hidden or 256, epochs=args.epochs or 10,
+    )
+    comparison = run_statistical_comparison(arrays["y_test"], predictions)
+    cis = compute_bootstrap_intervals(arrays["y_test"], predictions)
+    contributions = analyze_component_contribution(results)
+
+    coupling = None
+    coupling_path = paths["results"] / "coupling_analysis.json"
+    if coupling_path.exists():
+        coupling = load_results(coupling_path)  # reload (ref 09:424-461)
+
+    save_results(paths["results"] / "sensitivity_analysis.json", {
+        "ablation": results,
+        "statistical_comparison": comparison,
+        "bootstrap_cis": cis,
+        "component_contributions": contributions,
+        "coupling_sensitivity": coupling,
+    })
+    plot_ablation_results(results, cis, paths["figures"] / "fig25_ablation")
+    for name, r in results.items():
+        print(f"  {name}: acc={r['metrics']['accuracy']:.4f}")
+
+
+def cmd_export(args):
+    from eegflow.analyze.export import (
+        export_frames, participant_dataframe, sample_dataframe,
+        three_state_probabilities,
+    )
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    arrays, _ = _load_splits(paths)
+    model = _load_coupled_model(paths, cfg)
+
+    frames = {}
+    summary = {}
+    for split in ("train", "val", "test"):
+        x = arrays[f"X_{split}"]
+        if len(x) == 0:
+            continue
+        res = three_state_probabilities(model, x)
+        df = sample_dataframe(res["lstm_probs"], res["three_state_probs"],
+                              res["predictions"], arrays[f"y_{split}"],
+                              prefix=f"{split}_")
+        frames[f"{split}_sample_probabilities"] = df
+        summary[split] = {
+            "n_samples": len(df),
+            "mean_probs": res["three_state_probs"].mean(0).tolist(),
+            "state_counts": {str(s): int((res["predictions"] == s).sum())
+                             for s in (0, 1, 2)},
+        }
+        if split == "test":
+            frames["participant_probabilities"] = participant_dataframe(
+                df, n_participants=5  # ref 10:408-411
+            )
+    written = export_frames(paths["results"], frames)
+    save_results(paths["results"] / "three_state_summary.json", summary)
+    for name, ps in written.items():
+        print(f"  wrote {name}: {ps}")
+
+
+def cmd_all(args):
+    for fn in (cmd_preprocess, cmd_baselines, cmd_train, cmd_fit_ode,
+               cmd_integrate, cmd_explain, cmd_forecast, cmd_ablate, cmd_export):
+        print(f"\n===== {fn.__name__[4:]} =====")
+        rc = fn(args)
+        if rc:
+            return rc
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="eegflow",
+                                     description="TPU-native LSTM-ODE EEG pipeline")
+    parser.add_argument("--data-dir", default="data/ds004148")
+    parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--config", default=None, help="PipelineConfig JSON file")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("synth", help="generate a synthetic ds004148-shaped dataset")
+    p.add_argument("--subjects", type=int, default=4)
+    p.add_argument("--sessions", type=int, default=1)
+    p.add_argument("--duration", type=float, default=30.0)
+    p.add_argument("--channels", type=int, default=61)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("download", help="download ds004148 from OpenNeuro S3")
+    p.add_argument("-y", "--yes", action="store_true")
+    p.add_argument("--subjects", type=int, default=60)
+    p.add_argument("--parallel", action="store_true")
+    p.set_defaults(fn=cmd_download)
+
+    for name, fn in (("explore", cmd_explore), ("preprocess", cmd_preprocess),
+                     ("baselines", cmd_baselines), ("fit-ode", cmd_fit_ode),
+                     ("integrate", cmd_integrate), ("forecast", cmd_forecast),
+                     ("export", cmd_export)):
+        p = sub.add_parser(name)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("train", help="train the BiLSTM-attention classifier")
+    p.add_argument("--epochs", type=int, default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("explain")
+    p.add_argument("--skip-shap", action="store_true")  # ref 07:1336-1342
+    p.set_defaults(fn=cmd_explain)
+
+    p = sub.add_parser("ablate")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--hidden", type=int, default=None)
+    p.set_defaults(fn=cmd_ablate)
+
+    p = sub.add_parser("all", help="run the full pipeline")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--skip-shap", action="store_true")
+    p.add_argument("--hidden", type=int, default=None)
+    p.set_defaults(fn=cmd_all)
+
+    args = parser.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

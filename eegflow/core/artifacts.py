@@ -99,10 +99,22 @@ def load_checkpoint(path: str | Path, params_template: Any = None):
     cfg = ModelConfig(**payload["model_config"])
     raw = (path / "params.msgpack").read_bytes()
     if params_template is None:
-        params = serialization.msgpack_restore(raw)
+        params = _restore_lists(serialization.msgpack_restore(raw))
     else:
         params = serialization.from_bytes(params_template, raw)
     return params, cfg, payload.get("history", {}), payload.get("extra", {})
+
+
+def _restore_lists(tree: Any) -> Any:
+    """msgpack stores Python lists as {"0": ..., "1": ...} dicts; undo that so
+    restored params match the init-time pytree structure."""
+    if isinstance(tree, dict):
+        restored = {k: _restore_lists(v) for k, v in tree.items()}
+        keys = list(restored.keys())
+        if keys and all(isinstance(k, str) and k.isdigit() for k in keys):
+            return [restored[str(i)] for i in range(len(keys))]
+        return restored
+    return tree
 
 
 # ---------------------------------------------------------------------------

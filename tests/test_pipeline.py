@@ -1,0 +1,165 @@
+"""Golden end-to-end pipeline test: the full CLI chain (synth -> explore ->
+preprocess -> baselines -> train -> fit-ode -> integrate -> explain ->
+forecast -> ablate -> export) on a small synthetic ds004148-shaped dataset,
+checking every stage's artifact contract."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from eegflow.cli.main import main
+from eegflow.core.config import (
+    CouplingConfig, DataConfig, ModelConfig, ODEConfig, PipelineConfig,
+    PreprocessConfig, TrainConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    data_dir = root / "data"
+    out_dir = root / "outputs"
+    cfg = PipelineConfig(
+        data=DataConfig(dataset_dir=str(data_dir), max_subjects=None),
+        preprocess=PreprocessConfig(filter_method="fft"),
+        model=ModelConfig(input_size=8, hidden_size=16, num_layers=2, dropout=0.1),
+        train=TrainConfig(epochs=3, batch_size=64, eval_batch_size=128,
+                          accumulation_steps=1, learning_rate=3e-3,
+                          warmup_epochs=1, patience=10, bf16=False),
+        ode=ODEConfig(de_maxiter=60),
+        coupling=CouplingConfig(),
+    )
+    cfg_path = root / "config.json"
+    cfg.to_json(cfg_path)
+    base = ["--data-dir", str(data_dir), "--output-dir", str(out_dir),
+            "--config", str(cfg_path)]
+    return base, data_dir, out_dir
+
+
+def run(base, *cmd):
+    assert main(base + list(cmd)) == 0
+
+
+def test_stage_synth(pipeline_dirs):
+    base, data_dir, _ = pipeline_dirs
+    run(base, "synth", "--subjects", "4", "--duration", "20", "--channels", "8")
+    assert len(list(data_dir.glob("sub-*/ses-*/eeg/*.vhdr"))) == 8
+
+
+def test_stage_explore(pipeline_dirs, capsys):
+    base, _, out = pipeline_dirs
+    run(base, "explore")
+    report = (out / "results" / "eda_report.md").read_text()
+    assert "alpha" in report.lower()
+    summary = json.loads((out / "results" / "eda_summary.json").read_text())
+    assert summary["census"]["n_recordings"] == 8
+    assert summary["alpha_ratio"] > 2.0  # biomarker visible in EDA
+
+
+def test_stage_preprocess(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "preprocess")
+    npz = np.load(out / "processed_data" / "processed_sequences.npz")
+    assert npz["X_train"].shape[1:] == (256, 8)
+    assert npz["X_train"].shape[0] > 50
+    assert set(np.concatenate([npz["y_train"], npz["y_test"]])) == {0, 1}
+    meta = json.loads((out / "processed_data" / "preprocessing_metadata.json").read_text())
+    assert meta["filter"]["lowcut"] == 1.0
+    assert len(meta["channel_names"]) == 8
+    # subject-wise split: no subject overlap
+    splits = meta["splits"]
+    tr = set(splits["train"]["subjects"])
+    te = set(splits["test"]["subjects"])
+    assert tr and te and not (tr & te)
+
+
+def test_stage_baselines(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "baselines")
+    res = json.loads((out / "results" / "baseline_results.json").read_text())
+    assert set(res) == {"svm", "random_forest", "gradient_boosting"}
+    # synthetic alpha signal is separable: best baseline well above chance
+    best = max(r["accuracy"] for r in res.values())
+    assert best > 0.8
+    assert (out / "figures" / "fig05_baselines.png").exists()
+    assert (out / "models" / "baseline_models.pkl").exists()
+
+
+def test_stage_train(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "train")
+    assert (out / "models" / "lstm_attention" / "params.msgpack").exists()
+    res = json.loads((out / "results" / "lstm_results.json").read_text())
+    assert res["accuracy"] > 0.6  # 3 epochs on separable synthetic data
+    ckpt = json.loads((out / "models" / "lstm_attention" / "checkpoint.json").read_text())
+    assert ckpt["model_config"]["input_size"] == 8
+    assert len(ckpt["history"]["val_f1"]) >= 1
+    attn = np.load(out / "models" / "attention_weights.npy")
+    assert attn.shape[1] == 256
+
+
+def test_stage_fit_ode(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "fit-ode")
+    res = json.loads((out / "results" / "ode_results.json").read_text())
+    bounds = ODEConfig().bounds
+    for i, name in enumerate(("k_ap", "k_af", "k_pa", "k_pf", "k_fa", "k_fp")):
+        assert bounds[i][0] - 1e-9 <= res["fitted_params"][name] <= bounds[i][1] + 1e-9
+    assert res["stability"]["is_stable"]
+    assert abs(sum(res["steady_state"]) - 1) < 1e-4
+    assert (out / "figures" / "fig11_state_diagram.png").exists()
+
+
+def test_stage_integrate(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "integrate")
+    res = json.loads((out / "results" / "integration_results.json").read_text())
+    assert res["evaluation"]["accuracy"] > 0.4
+    sweep = json.loads((out / "results" / "coupling_analysis.json").read_text())
+    assert set(sweep) == {"0.0", "0.25", "0.5", "0.75", "1.0"}
+
+
+def test_stage_explain(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "explain", "--skip-shap")
+    res = json.loads((out / "results" / "explainability_summary.json").read_text())
+    assert len(res["gradient"]["importance"]) == 8
+    assert res["ode"]["balance"] > 0
+    assert len(res["top_channels"]) == 8
+    assert (out / "figures" / "fig19_importance_comparison.png").exists()
+
+
+def test_stage_forecast(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "forecast")
+    res = json.loads((out / "results" / "forecasting_results.json").read_text())
+    assert set(res["metrics"]) == {"5", "10", "20"}
+    for m in res["metrics"].values():
+        assert 0 <= m["accuracy"] <= 1 and m["mae"] >= 0
+
+
+def test_stage_ablate(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "ablate", "--epochs", "2", "--hidden", "8")
+    res = json.loads((out / "results" / "sensitivity_analysis.json").read_text())
+    assert len(res["ablation"]) == 6
+    assert "No Attention" in res["statistical_comparison"]
+    assert res["coupling_sensitivity"] is not None  # reloaded from stage 06
+
+
+def test_stage_export(pipeline_dirs):
+    base, _, out = pipeline_dirs
+    run(base, "export")
+    import pandas as pd
+
+    df = pd.read_csv(out / "results" / "test_sample_probabilities.csv")
+    assert {"Prob_EyesOpen", "Prob_Drowsy", "Prob_EyesClosed",
+            "Predicted_State", "Ground_Truth"} <= set(df.columns)
+    probs = df[["Prob_EyesOpen", "Prob_Drowsy", "Prob_EyesClosed"]].to_numpy()
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-4)
+    pdf = pd.read_csv(out / "results" / "participant_probabilities.csv")
+    assert len(pdf) == 5
+    summary = json.loads((out / "results" / "three_state_summary.json").read_text())
+    assert "test" in summary
