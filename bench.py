@@ -31,46 +31,87 @@ import numpy as np
 REFERENCE_WINDOWS_PER_SEC_ESTIMATE = 2000.0
 
 
-def main():
+def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=20):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from eegflow.core.config import ModelConfig, TrainConfig
-    from eegflow.nn.model import classifier_init, model_flops_per_window
-    from eegflow.train.steps import TrainState, make_eval_step, make_optimizer, make_train_step
+    from eegflow.nn.model import classifier_init
+    from eegflow.train.steps import TrainState, make_optimizer, make_train_step
 
-    model_cfg = ModelConfig(input_size=61)   # hidden auto-resolves to 256
-    train_cfg = TrainConfig(batch_size=512, accumulation_steps=4, bf16=True)
-
-    n_chips = max(1, len(jax.devices()))
     params = classifier_init(jax.random.key(0), model_cfg)
     tx = make_optimizer(train_cfg, updates_per_epoch=100)
     state = TrainState(params, tx.init(params), jnp.asarray(0))
     step = make_train_step(model_cfg, train_cfg, tx, donate=True)
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal(
-        (train_cfg.batch_size, 256, model_cfg.input_size)), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 2, train_cfg.batch_size))
-
-    # compile + warmup
-    for i in range(3):
+    for i in range(3):  # compile + warmup
         state, metrics = step(state, x, y, jax.random.key(i))
     jax.block_until_ready(metrics["loss"])
-
-    n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, x, y, jax.random.key(100 + i))
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
+    return dt / n_steps, float(metrics["loss"])
 
-    windows_per_sec = n_steps * train_cfg.batch_size / dt / n_chips
 
-    flops = 3 * model_flops_per_window(model_cfg) * windows_per_sec  # fwd+bwd ~ 3x fwd
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from eegflow.core.config import ModelConfig, TrainConfig
+    from eegflow.nn.model import classifier_init, model_flops_per_window
+    from eegflow.ode.field import DEFAULT_RATES
+    from eegflow.ode import rates_to_array
+    from eegflow.couple.rollout import coupled_rollout
+
+    model_cfg = ModelConfig(input_size=61)   # hidden auto-resolves to 256
+    base_cfg = TrainConfig(batch_size=512, accumulation_steps=4, bf16=True)
+
+    n_chips = max(1, len(jax.devices()))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (base_cfg.batch_size, 256, model_cfg.input_size)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, base_cfg.batch_size))
+
+    # train-step throughput for both LSTM implementations; headline = best
+    results = {}
+    for impl in ("scan", "pallas"):
+        cfg = dataclasses.replace(base_cfg, lstm_impl=impl)
+        try:
+            dt_step, loss = _time_train_steps(model_cfg, cfg, x, y)
+            results[impl] = dt_step
+            sys.stderr.write(
+                f"# train[{impl}]: {dt_step * 1e3:.1f} ms/step "
+                f"({base_cfg.batch_size / dt_step:.0f} windows/s), loss={loss:.4f}\n"
+            )
+        except Exception as e:  # pallas may be unavailable off-TPU
+            sys.stderr.write(f"# train[{impl}] failed: {type(e).__name__}: {e}\n")
+
+    best_impl = min(results, key=results.get)
+    dt_step = results[best_impl]
+    windows_per_sec = base_cfg.batch_size / dt_step / n_chips
+
+    flops = 3 * model_flops_per_window(model_cfg) * windows_per_sec
     sys.stderr.write(
-        f"# train step: {dt/n_steps*1e3:.1f} ms/step, "
-        f"~{flops/1e12:.1f} TFLOP/s/chip (matmul FLOPs), loss={float(metrics['loss']):.4f}\n"
+        f"# best impl: {best_impl}, ~{flops / 1e12:.1f} TFLOP/s/chip (matmul FLOPs)\n"
+    )
+
+    # coupled LSTM->ODE inference throughput (the stage-06 hot path)
+    params = classifier_init(jax.random.key(0), model_cfg)
+    k = rates_to_array(DEFAULT_RATES)
+    roll = lambda: coupled_rollout(params, x, k, model_cfg, forecast_steps=20,
+                                   lstm_impl=best_impl)
+    jax.block_until_ready(roll()["probs"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = roll()
+    jax.block_until_ready(out["probs"])
+    dt_inf = (time.perf_counter() - t0) / 10
+    sys.stderr.write(
+        f"# coupled inference: {base_cfg.batch_size / dt_inf:.0f} samples/s/chip\n"
     )
 
     print(json.dumps({

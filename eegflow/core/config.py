@@ -123,6 +123,9 @@ class TrainConfig:
     max_shift: int = 5                         # circular time-shift augmentation
     weighted_sampling: bool = True
     data_axis: str = "data"                    # mesh axis name for DP
+    # "scan": XLA lax.scan recurrence; "pallas": fused VMEM-resident kernel
+    # (bit-exact, ~2.6x faster forward on v5e; backward via scan remat)
+    lstm_impl: str = "scan"
 
 
 @dataclass(frozen=True)

@@ -38,7 +38,7 @@ class CoupledModel:
 @functools.partial(
     jax.jit,
     static_argnames=("model_cfg", "forecast_steps", "alpha", "rate_floor",
-                     "init_threshold", "bf16"),
+                     "init_threshold", "bf16", "lstm_impl"),
 )
 def coupled_rollout(
     params: Any,
@@ -50,6 +50,7 @@ def coupled_rollout(
     rate_floor: float = 1e-3,
     init_threshold: float = 0.6,
     bf16: bool = True,
+    lstm_impl: str = "scan",
 ) -> Dict[str, jnp.ndarray]:
     """(B, T, C) windows -> dict with probs, attention, trajectories, finals.
 
@@ -60,7 +61,7 @@ def coupled_rollout(
     compute_dtype = jnp.bfloat16 if bf16 else None
     logits, attention = classifier_apply(
         params, x, model_cfg, train=False, return_attention=True,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, lstm_impl=lstm_impl,
     )
     probs = jax.nn.softmax(logits, axis=-1)
     p_open, p_closed = probs[:, 0], probs[:, 1]

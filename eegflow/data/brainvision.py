@@ -98,13 +98,6 @@ def read_brainvision(
     n_total = (len(raw) // n_ch) * n_ch
     raw = raw[:n_total]
 
-    if header["orientation"] == "MULTIPLEXED":
-        data = raw.reshape(-1, n_ch).T  # (C, T)
-    elif header["orientation"] == "VECTORIZED":
-        data = raw.reshape(n_ch, -1)
-    else:
-        raise ValueError(f"unsupported DataOrientation {header['orientation']}")
-
     resolutions = np.asarray(
         [c["resolution"] for c in header["channels"]] or [1.0] * n_ch, np.float64
     )[:, None]
@@ -112,18 +105,25 @@ def read_brainvision(
         [_UNIT_TO_VOLTS.get(str(c["unit"]).lower(), 1e-6) for c in header["channels"]]
         or [1e-6] * n_ch, np.float64,
     )[:, None]
+    volts_per_count = (resolutions * units).ravel()
 
     scaled: Optional[np.ndarray] = None
-    if use_native and dtype == np.int16:
+    if use_native and dtype == np.int16 and header["orientation"] == "MULTIPLEXED":
         try:
-            from eegflow.data.native import scale_int16
+            from eegflow.data.native import demux_scale_int16
 
-            scaled = scale_int16(np.ascontiguousarray(data),
-                                 (resolutions * units).ravel())
+            # fused de-multiplex + scale straight from the on-disk stream
+            scaled = demux_scale_int16(raw, volts_per_count, n_ch)
         except Exception:
             scaled = None
     if scaled is None:
-        scaled = data.astype(np.float64) * resolutions * units
+        if header["orientation"] == "MULTIPLEXED":
+            counts = raw.reshape(-1, n_ch).T  # (C, T)
+        elif header["orientation"] == "VECTORIZED":
+            counts = raw.reshape(n_ch, -1)
+        else:
+            raise ValueError(f"unsupported DataOrientation {header['orientation']}")
+        scaled = counts.astype(np.float64) * resolutions * units
     data = scaled.astype(np.float32)
 
     if crop_seconds is not None:

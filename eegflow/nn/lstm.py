@@ -126,14 +126,29 @@ def bilstm_stack_apply(
     train: bool = False,
     dropout_key: Optional[jax.Array] = None,
     compute_dtype=None,
+    impl: str = "scan",
 ) -> jnp.ndarray:
-    """(B, T, D) -> (B, T, H*n_dir); inter-layer dropout like torch nn.LSTM."""
+    """(B, T, D) -> (B, T, H*n_dir); inter-layer dropout like torch nn.LSTM.
+
+    ``impl='pallas'`` routes each direction through the fused Pallas
+    recurrence kernel (bit-exact, training-safe via custom_vjp).
+    """
+    if impl == "pallas":
+        from eegflow.nn.pallas_lstm import lstm_layer_fused
+
+        def run_dir(p, data, reverse):
+            return lstm_layer_fused(p["w_ih"], p["w_hh"], p["b"], data, reverse)
+    else:
+        def run_dir(p, data, reverse):
+            return lstm_layer_apply(p, data, reverse=reverse,
+                                    compute_dtype=compute_dtype)
+
     out = x
     n = len(layers)
     for idx, layer in enumerate(layers):
-        fwd = lstm_layer_apply(layer["fwd"], out, reverse=False, compute_dtype=compute_dtype)
+        fwd = run_dir(layer["fwd"], out, False)
         if "bwd" in layer:
-            bwd = lstm_layer_apply(layer["bwd"], out, reverse=True, compute_dtype=compute_dtype)
+            bwd = run_dir(layer["bwd"], out, True)
             out = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             out = fwd

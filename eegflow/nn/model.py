@@ -61,12 +61,14 @@ def classifier_apply(
     dropout_key: Optional[jax.Array] = None,
     return_attention: bool = False,
     compute_dtype=None,
+    lstm_impl: str = "scan",
 ) -> jnp.ndarray | Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, C) windows -> (B, num_classes) logits (+ attention (B, T)).
 
     ``compute_dtype=jnp.bfloat16`` runs all matmuls on the MXU in bf16 with
     f32 accumulation — the TPU analogue of the reference's FP16 autocast
-    (ref 04:486-489).
+    (ref 04:486-489). ``lstm_impl='pallas'`` uses the fused VMEM-resident
+    recurrence kernel (eegflow.nn.pallas_lstm).
     """
     d = config.dropout
     keys = {}
@@ -85,6 +87,7 @@ def classifier_apply(
     h = bilstm_stack_apply(
         params["lstm"], h, inter_dropout=d if config.num_layers > 1 else 0.0,
         train=train, dropout_key=keys.get("lstm"), compute_dtype=compute_dtype,
+        impl=lstm_impl,
     )
 
     if config.use_layer_norm:

@@ -66,7 +66,7 @@ def make_train_step(
     def loss_fn(params, x, y, key):
         logits = classifier_apply(
             params, x, model_cfg, train=True, dropout_key=key,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, lstm_impl=train_cfg.lstm_impl,
         )
         loss = cross_entropy_loss(logits, y, cw)
         return loss, logits
@@ -103,6 +103,7 @@ def make_eval_step(
     bf16: bool = True,
     class_weights: Optional[jnp.ndarray] = None,
     return_attention: bool = False,
+    lstm_impl: str = "scan",
 ) -> Callable:
     """Build ``eval(params, x) -> (probs[, attention])`` under jit (ref 06:334-365)."""
     compute_dtype = jnp.bfloat16 if bf16 else None
@@ -112,6 +113,7 @@ def make_eval_step(
         out = classifier_apply(
             params, x, model_cfg, train=False,
             return_attention=return_attention, compute_dtype=compute_dtype,
+            lstm_impl=lstm_impl,
         )
         if return_attention:
             logits, attn = out

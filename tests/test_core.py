@@ -1,0 +1,109 @@
+"""Core-module tests: config tree round-trip, artifact store contracts,
+PRNG streams, timing registry."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from eegflow.core.artifacts import (
+    load_checkpoint,
+    load_processed,
+    save_checkpoint,
+    save_processed,
+    save_results,
+    load_results,
+)
+from eegflow.core.config import ModelConfig, ODEConfig, PipelineConfig, TrainConfig
+from eegflow.core.prng import KeyRing, key_chain, seed_everything
+from eegflow.core.timing import Timer, timed
+
+
+def test_config_roundtrip_json(tmp_path):
+    cfg = PipelineConfig(
+        model=ModelConfig(input_size=32, hidden_size=64),
+        train=TrainConfig(epochs=7, lstm_impl="pallas"),
+        ode=ODEConfig(de_maxiter=5),
+    )
+    path = tmp_path / "cfg.json"
+    cfg.to_json(path)
+    restored = PipelineConfig.from_json(path)
+    assert restored == cfg
+    assert restored.ode.bounds == cfg.ode.bounds  # tuples survive round-trip
+    assert restored.model.resolved_hidden() == 64
+
+
+def test_config_defaults_match_reference():
+    cfg = PipelineConfig()
+    assert cfg.preprocess.sequence_length == 256
+    assert cfg.preprocess.overlap == 0.5
+    assert cfg.preprocess.lowcut == 1.0 and cfg.preprocess.highcut == 45.0
+    assert cfg.train.batch_size == 512 and cfg.train.accumulation_steps == 4
+    assert cfg.train.patience == 15 and cfg.train.warmup_epochs == 5
+    assert cfg.ode.rates()["k_ap"] == 0.1
+    assert cfg.coupling.coupling_strength == 0.5
+
+
+def test_processed_archive_roundtrip(tmp_path, rng):
+    arrays = {
+        "X_train": rng.standard_normal((10, 16, 4)).astype(np.float32),
+        "y_train": rng.integers(0, 2, 10),
+    }
+    meta = {"sampling_rate": 500.0, "note": np.float64(1.5)}
+    npz = save_processed(tmp_path, arrays, meta)
+    loaded, meta2 = load_processed(npz)
+    np.testing.assert_array_equal(loaded["X_train"], arrays["X_train"])
+    assert meta2["sampling_rate"] == 500.0
+    assert isinstance(meta2["note"], float)  # numpy scalars JSON-ified
+
+
+def test_checkpoint_roundtrip_nested_pytree(tmp_path):
+    from eegflow.nn.model import classifier_init
+
+    cfg = ModelConfig(input_size=4, hidden_size=8, num_layers=2)
+    params = classifier_init(jax.random.key(0), cfg)
+    save_checkpoint(tmp_path / "ckpt", params, cfg,
+                    history={"val_f1": [0.5, 0.6]}, extra={"note": "x"})
+    params2, cfg2, history, extra = load_checkpoint(tmp_path / "ckpt")
+    assert cfg2 == cfg
+    assert history["val_f1"] == [0.5, 0.6]
+    assert extra["note"] == "x"
+    # structure restored: lstm is a list of per-layer dicts
+    assert isinstance(params2["lstm"], list) and len(params2["lstm"]) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_results_json(tmp_path):
+    res = {"acc": np.float32(0.5), "cm": np.array([[1, 2], [3, 4]])}
+    p = save_results(tmp_path / "r.json", res)
+    loaded = load_results(p)
+    assert loaded["acc"] == 0.5 and loaded["cm"] == [[1, 2], [3, 4]]
+
+
+def test_prng_streams_deterministic():
+    root = seed_everything(42)
+    ring1 = KeyRing(root)
+    ring2 = KeyRing(root)
+    a1, a2 = ring1("dropout"), ring1("dropout")
+    b1 = ring2("dropout")
+    assert jax.random.bits(a1) == jax.random.bits(b1)  # same stream, same seq
+    assert jax.random.bits(a1) != jax.random.bits(a2)  # advances within stream
+    chain = key_chain(root)
+    k1, k2 = next(chain), next(chain)
+    assert jax.random.bits(k1) != jax.random.bits(k2)
+
+
+def test_timer_registry():
+    timer = Timer()
+
+    @timed("work", timer)
+    def work():
+        return 1
+
+    work()
+    work()
+    s = timer.summary()["work"]
+    assert s["count"] == 2 and s["total_s"] >= 0

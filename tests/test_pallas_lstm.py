@@ -1,0 +1,84 @@
+"""Pallas LSTM kernel vs the scan reference, in interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eegflow.nn.lstm import bilstm_stack_apply, bilstm_stack_init, lstm_layer_apply, lstm_layer_init
+from eegflow.nn.pallas_lstm import (
+    pallas_bilstm_stack_apply,
+    pallas_lstm_layer_apply,
+)
+
+
+@pytest.mark.parametrize("b,t,d,h", [(8, 32, 12, 16), (5, 24, 8, 8)])
+def test_pallas_layer_matches_scan(b, t, d, h):
+    params = lstm_layer_init(jax.random.key(0), d, h)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((b, t, d)), jnp.float32)
+    ref = np.asarray(lstm_layer_apply(params, x))
+    ours = np.asarray(pallas_lstm_layer_apply(params, x, interpret=True,
+                                              batch_tile=4, t_chunk=8))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_layer_reverse_matches_scan():
+    params = lstm_layer_init(jax.random.key(1), 8, 8)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 16, 8)), jnp.float32)
+    ref = np.asarray(lstm_layer_apply(params, x, reverse=True))
+    ours = np.asarray(pallas_lstm_layer_apply(params, x, reverse=True,
+                                              interpret=True, batch_tile=4,
+                                              t_chunk=4))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_stack_matches_scan_stack():
+    stack = bilstm_stack_init(jax.random.key(2), 6, 8, num_layers=2,
+                              bidirectional=True)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((4, 16, 6)), jnp.float32)
+    ref = np.asarray(bilstm_stack_apply(stack, x))
+    ours = np.asarray(pallas_bilstm_stack_apply(stack, x, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_handles_nondivisible_batch():
+    """Batch 7 with tile 4 -> padded to 8, pad rows dropped."""
+    params = lstm_layer_init(jax.random.key(3), 4, 8)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((7, 8, 4)), jnp.float32)
+    ref = np.asarray(lstm_layer_apply(params, x))
+    ours = np.asarray(pallas_lstm_layer_apply(params, x, interpret=True,
+                                              batch_tile=4, t_chunk=4))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_fused_layer_gradients_match_scan():
+    """custom_vjp: Pallas forward + scan-derived backward == pure scan grads."""
+    from eegflow.nn.pallas_lstm import lstm_layer_fused
+
+    params = lstm_layer_init(jax.random.key(4), 6, 8)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((4, 16, 6)), jnp.float32)
+
+    def loss_fused(p, x):
+        return jnp.sum(lstm_layer_fused(p["w_ih"], p["w_hh"], p["b"], x, False) ** 2)
+
+    def loss_scan(p, x):
+        return jnp.sum(lstm_layer_apply(p, x) ** 2)
+
+    g_fused = jax.grad(loss_fused)(params, x)
+    g_scan = jax.grad(loss_scan)(params, x)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_fused[k]), np.asarray(g_scan[k]),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_classifier_pallas_impl_matches_scan():
+    from eegflow.core.config import ModelConfig
+    from eegflow.nn.model import classifier_apply, classifier_init
+
+    cfg = ModelConfig(input_size=6, hidden_size=8, num_layers=2, dropout=0.0)
+    params = classifier_init(jax.random.key(5), cfg)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((4, 16, 6)), jnp.float32)
+    ref = np.asarray(classifier_apply(params, x, cfg, lstm_impl="scan"))
+    ours = np.asarray(classifier_apply(params, x, cfg, lstm_impl="pallas"))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
