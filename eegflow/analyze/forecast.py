@@ -30,6 +30,24 @@ def prob_to_ode_state(prob_closed: np.ndarray) -> np.ndarray:
     return state / state.sum(axis=-1, keepdims=True)
 
 
+def create_sequences_for_forecasting(
+    probs: np.ndarray, y_labels: np.ndarray, window_size: int = 10
+):
+    """Sliding windows of P(closed) with current/next labels (ref 08:237-249):
+    returns (sequences (N, w), label_windows (N, w), future_labels (N,))."""
+    probs = np.asarray(probs)
+    y_labels = np.asarray(y_labels)
+    n = len(probs) - window_size
+    if n <= 0:
+        return (np.empty((0, window_size)), np.empty((0, window_size)),
+                np.empty((0,)))
+    idx = np.arange(window_size)[None, :] + np.arange(n)[:, None]
+    sequences = probs[:, 1][idx]
+    label_windows = y_labels[idx]
+    future = y_labels[np.minimum(np.arange(n) + window_size, len(y_labels) - 1)]
+    return sequences, label_windows, future
+
+
 def multistep_forecast(
     probs_closed: np.ndarray,
     k: np.ndarray,

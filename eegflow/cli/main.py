@@ -220,8 +220,11 @@ def cmd_train(args):
         mesh = make_data_mesh()
         print(f"data-parallel mesh over {len(jax.devices())} devices")
 
-    res = train_classifier(x_train, y_train, x_val, y_val, model_cfg, train_cfg,
-                           mesh=mesh)
+    from eegflow.core.timing import jax_trace
+
+    with jax_trace(getattr(args, "profile", None)):
+        res = train_classifier(x_train, y_train, x_val, y_val, model_cfg,
+                               train_cfg, mesh=mesh)
     print(f"best val F1 {res.best_val_f1:.4f} in {res.epochs_run} epochs "
           f"({res.wall_time_s:.0f}s, {res.windows_per_sec:.0f} windows/s)")
 
@@ -337,6 +340,22 @@ def cmd_integrate(args):
     plot_coupling_analysis(sweep, paths["figures"] / "fig13_coupling")
     plot_trajectory_examples(res["trajectories"], res["probs"],
                              paths["figures"] / "fig14_trajectories")
+
+    # model-zoo comparison across all stages run so far (ref 06:636-777)
+    from eegflow.analyze.tables import format_results_table, merge_all_model_results
+    from eegflow.viz import plot_comprehensive_comparison
+
+    baselines = lstm = None
+    if (paths["results"] / "baseline_results.json").exists():
+        baselines = load_results(paths["results"] / "baseline_results.json")
+    if (paths["results"] / "lstm_results.json").exists():
+        lstm = load_results(paths["results"] / "lstm_results.json")
+    all_results = merge_all_model_results(baselines, lstm,
+                                          {"evaluation": evaluation})
+    save_results(paths["results"] / "all_model_results.json", all_results)
+    plot_comprehensive_comparison(all_results,
+                                  paths["figures"] / "fig15_model_zoo")
+    print(format_results_table(all_results))
 
 
 def cmd_explain(args):
@@ -458,8 +477,16 @@ def cmd_ablate(args):
         "coupling_sensitivity": coupling,
     })
     plot_ablation_results(results, cis, paths["figures"] / "fig25_ablation")
-    for name, r in results.items():
-        print(f"  {name}: acc={r['metrics']['accuracy']:.4f}")
+
+    # manuscript tables (ref 09:671-703)
+    from eegflow.analyze.tables import create_results_tables
+
+    all_path = paths["results"] / "all_model_results.json"
+    all_results = load_results(all_path) if all_path.exists() else None
+    tables = create_results_tables(all_results, results, comparison)
+    (paths["results"] / "results_tables.txt").write_text("\n\n".join(tables))
+    for t in tables:
+        print("\n" + t)
 
 
 def cmd_export(args):
@@ -540,6 +567,8 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="train the BiLSTM-attention classifier")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("explain")

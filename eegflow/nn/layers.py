@@ -65,3 +65,33 @@ def dropout(
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """Exact (erf) GELU — torch nn.GELU default, unlike jax.nn.gelu's tanh approx."""
     return jax.nn.gelu(x, approximate=False)
+
+
+def residual_block_init(key: jax.Array, hidden: int) -> Dict[str, object]:
+    """FC-GELU-dropout-FC + post-add LayerNorm residual block
+    (ref 04_lstm_model.py:131-150 — declared there but unused; provided here
+    as a usable, tested head component)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": dense_init(k1, hidden, hidden),
+        "fc2": dense_init(k2, hidden, hidden),
+        "norm": layer_norm_init(hidden),
+    }
+
+
+def residual_block_apply(
+    params: Dict[str, object],
+    x: jnp.ndarray,
+    rate: float = 0.3,
+    key: Optional[jax.Array] = None,
+    train: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    k1 = k2 = None
+    if train and key is not None:
+        k1, k2 = jax.random.split(key)
+    out = gelu(dense_apply(params["fc1"], x, compute_dtype))
+    out = dropout(out, rate, k1, train)
+    out = dense_apply(params["fc2"], out, compute_dtype)
+    out = dropout(out, rate, k2, train)
+    return layer_norm_apply(params["norm"], out + x)

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, h_ref, c_ref, *,
+def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref, *,
                        t_chunk: int, hidden: int):
     """One (batch_tile, time_chunk) grid step of the recurrence."""
 
@@ -56,13 +56,15 @@ def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, h_ref, c_ref, *,
         h_ref[:] = h_new
         c_ref[:] = c_new
         out_ref[:, i, :] = h_new
+        if cell_out_ref is not None:
+            cell_out_ref[:, i, :] = c_new
         return 0
 
     jax.lax.fori_loop(0, t_chunk, step, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret")
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "collect_cell")
 )
 def lstm_recurrence_pallas(
     gates_all: jnp.ndarray,
@@ -70,8 +72,11 @@ def lstm_recurrence_pallas(
     batch_tile: int = 128,
     t_chunk: int = 8,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """(B, T, 4H) precomputed gates + (H, 4H) W_hh -> (B, T, H) hidden states.
+    collect_cell: bool = False,
+):
+    """(B, T, 4H) precomputed gates + (H, 4H) W_hh -> (B, T, H) hidden states
+    (plus the cell-state sequence when ``collect_cell`` — the training path
+    saves it as the backward kernel's residual).
 
     B must be a multiple of ``batch_tile`` and T of ``t_chunk`` (callers pad).
     """
@@ -80,7 +85,22 @@ def lstm_recurrence_pallas(
     assert b % batch_tile == 0 and t % t_chunk == 0
 
     grid = (b // batch_tile, t // t_chunk)
-    kernel = functools.partial(_lstm_chunk_kernel, t_chunk=t_chunk, hidden=hidden)
+    block = pl.BlockSpec((batch_tile, t_chunk, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+
+    if collect_cell:
+        kernel = functools.partial(_lstm_chunk_kernel, t_chunk=t_chunk,
+                                   hidden=hidden)
+        out_specs = (block, block)
+        out_shape = (jax.ShapeDtypeStruct((b, t, hidden), jnp.float32),
+                     jax.ShapeDtypeStruct((b, t, hidden), jnp.float32))
+    else:
+        def kernel(gates_ref, w_hh_ref, out_ref, h_ref, c_ref):
+            _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, None, h_ref, c_ref,
+                               t_chunk=t_chunk, hidden=hidden)
+
+        out_specs = block
+        out_shape = jax.ShapeDtypeStruct((b, t, hidden), jnp.float32)
 
     return pl.pallas_call(
         kernel,
@@ -96,12 +116,8 @@ def lstm_recurrence_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (batch_tile, t_chunk, hidden),
-            lambda i, j: (i, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, t, hidden), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # h
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # c
@@ -193,40 +209,214 @@ def pallas_bilstm_stack_apply(
 
 
 # ---------------------------------------------------------------------------
-# Training-safe fused layer: Pallas forward, scan-derived backward
+# Backward kernel: reverse-time recurrence, dW_hh accumulated in VMEM
 # ---------------------------------------------------------------------------
+
+
+def _lstm_bwd_chunk_kernel(
+    gates_ref, hprev_ref, cprev_ref, c_ref, g_ref, w_hh_ref,
+    dgates_ref, dwhh_ref, dh_ref, dc_ref, *, t_chunk: int, hidden: int,
+):
+    """One reverse-time (batch_tile, time_chunk) grid step of LSTM backprop.
+
+    Standard LSTM adjoint, gate order i,f,g,o:
+        do = dh . tanh(c);  dc += dh . o . (1 - tanh^2 c)
+        di = dc.g  df = dc.c_prev  dg = dc.i;  dc_carry = dc.f
+        dz = [di i(1-i), df f(1-f), dg (1-g^2), do o(1-o)]
+        dh_carry = dz @ W_hh^T;  dW_hh += h_prev^T dz
+    The (h, c, dh, dc) carries live in VMEM scratch across time chunks; the
+    per-batch-tile dW_hh accumulates in its revisited output block.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+
+    def step(s, _):
+        i_t = t_chunk - 1 - s  # iterate the chunk in reverse time
+        h_prev = hprev_ref[:, i_t, :]
+        c_prev = cprev_ref[:, i_t, :]
+        c_t = c_ref[:, i_t, :]
+        z = gates_ref[:, i_t, :] + jnp.dot(
+            h_prev, w_hh_ref[:], preferred_element_type=jnp.float32
+        )
+        gi = jax.nn.sigmoid(z[:, :hidden])
+        gf = jax.nn.sigmoid(z[:, hidden : 2 * hidden])
+        gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
+        go = jax.nn.sigmoid(z[:, 3 * hidden :])
+        tc = jnp.tanh(c_t)
+
+        dh = g_ref[:, i_t, :] + dh_ref[:]
+        do = dh * tc
+        dc = dh * go * (1.0 - tc * tc) + dc_ref[:]
+        di = dc * gg
+        df = dc * c_prev
+        dg = dc * gi
+        dc_ref[:] = dc * gf
+
+        dz = jnp.concatenate(
+            [di * gi * (1.0 - gi), df * gf * (1.0 - gf),
+             dg * (1.0 - gg * gg), do * go * (1.0 - go)],
+            axis=-1,
+        )
+        dgates_ref[:, i_t, :] = dz
+        dh_ref[:] = jnp.dot(dz, w_hh_ref[:].T, preferred_element_type=jnp.float32)
+        dwhh_ref[0, :, :] += jnp.dot(h_prev.T, dz,
+                                     preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, t_chunk, step, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret")
+)
+def lstm_recurrence_backward(
+    gates_all: jnp.ndarray,
+    h_seq: jnp.ndarray,
+    c_seq: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    g_out: jnp.ndarray,
+    batch_tile: int = 128,
+    t_chunk: int = 4,
+    interpret: bool = False,
+):
+    """Backward through the recurrence: returns (dgates (B,T,4H), dw_hh (H,4H)).
+
+    Gate pre-activations are recomputed from ``gates_all`` + the saved hidden
+    sequence (cheaper than storing z). Time chunks are visited newest-first
+    via a reversed index map; dW_hh accumulates per batch tile and is summed
+    across tiles at the end.
+    """
+    b, t, g4 = gates_all.shape
+    hidden = g4 // 4
+    assert b % batch_tile == 0 and t % t_chunk == 0
+    n_btiles = b // batch_tile
+    n_chunks = t // t_chunk
+
+    zeros_first = jnp.zeros((b, 1, hidden), jnp.float32)
+    h_prev_seq = jnp.concatenate([zeros_first, h_seq[:, :-1, :]], axis=1)
+    c_prev_seq = jnp.concatenate([zeros_first, c_seq[:, :-1, :]], axis=1)
+
+    def rev(i, j):
+        return (i, n_chunks - 1 - j, 0)
+
+    seq_spec = lambda width: pl.BlockSpec(
+        (batch_tile, t_chunk, width), rev, memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_lstm_bwd_chunk_kernel, t_chunk=t_chunk,
+                               hidden=hidden)
+    dgates, dwhh_tiles = pl.pallas_call(
+        kernel,
+        grid=(n_btiles, n_chunks),
+        in_specs=[
+            seq_spec(4 * hidden),                       # gates
+            seq_spec(hidden),                           # h_prev
+            seq_spec(hidden),                           # c_prev
+            seq_spec(hidden),                           # c
+            seq_spec(hidden),                           # g_out
+            pl.BlockSpec((hidden, 4 * hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),      # w_hh
+        ],
+        out_specs=(
+            seq_spec(4 * hidden),                       # dgates
+            pl.BlockSpec((1, hidden, 4 * hidden), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # dw_hh per batch tile
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, 4 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((n_btiles, hidden, 4 * hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dh carry
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dc carry
+        ],
+        interpret=interpret,
+    )(
+        gates_all.astype(jnp.float32), h_prev_seq, c_prev_seq,
+        c_seq.astype(jnp.float32), g_out.astype(jnp.float32),
+        w_hh.astype(jnp.float32),
+    )
+    return dgates, jnp.sum(dwhh_tiles, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Training-safe fused layer: Pallas forward, Pallas backward
+# ---------------------------------------------------------------------------
+
+
+_FUSED_BATCH_TILE = 128
+_FUSED_T_CHUNK = 8
+
+
+def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse):
+    """Shared forward: gates einsum -> (flip) -> pad -> Pallas recurrence."""
+    gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
+    if reverse:
+        gates = jnp.flip(gates, axis=1)
+    b_sz, t, _ = gates.shape
+    bt = _pick_tile(b_sz, _FUSED_BATCH_TILE) if b_sz < _FUSED_BATCH_TILE \
+        else _FUSED_BATCH_TILE
+    pad_b = (-b_sz) % bt
+    if pad_b:
+        gates = jnp.pad(gates, ((0, pad_b), (0, 0), (0, 0)))
+    tc = _pick_tile(t, _FUSED_T_CHUNK)
+    h_pad, c_pad = lstm_recurrence_pallas(
+        gates, w_hh, batch_tile=bt, t_chunk=tc,
+        interpret=_auto_interpret(None), collect_cell=True,
+    )
+    return gates, h_pad, c_pad, bt, tc, b_sz
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False):
-    """LSTM layer with the Pallas forward and an exact backward.
+    """LSTM layer with Pallas forward AND Pallas backward kernels.
 
-    The backward pass re-runs the reference ``lax.scan`` implementation under
-    ``jax.vjp`` (rematerialization) — gradients are identical to the pure-scan
-    layer because the Pallas forward is bit-exact, while the forward half of
-    every training step gets the fused-kernel speedup.
+    Gradients match the pure ``lax.scan`` layer (the adjoint recursion is
+    exact, tested to 1e-4); both time directions of every training step run
+    the fused VMEM-resident recurrence.
     """
-    return pallas_lstm_layer_apply({"w_ih": w_ih, "w_hh": w_hh, "b": b}, x,
-                                   reverse=reverse)
+    _, h_pad, _, _, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse)
+    out = h_pad[:b_sz]
+    return jnp.flip(out, axis=1) if reverse else out
 
 
 def _fused_fwd(w_ih, w_hh, b, x, reverse):
-    out = pallas_lstm_layer_apply({"w_ih": w_ih, "w_hh": w_hh, "b": b}, x,
-                                  reverse=reverse)
-    return out, (w_ih, w_hh, b, x)
+    gates, h_pad, c_pad, bt, tc, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x,
+                                                            reverse)
+    out = h_pad[:b_sz]
+    if reverse:
+        out = jnp.flip(out, axis=1)
+    return out, (w_ih, w_hh, x, gates, h_pad, c_pad)
 
 
 def _fused_bwd(reverse, residuals, g):
-    from eegflow.nn.lstm import lstm_layer_apply
+    w_ih, w_hh, x, gates, h_pad, c_pad = residuals
+    b_sz = x.shape[0]
+    pad_b = gates.shape[0] - b_sz
+    bt = _pick_tile(gates.shape[0], _FUSED_BATCH_TILE) \
+        if gates.shape[0] < _FUSED_BATCH_TILE else _FUSED_BATCH_TILE
+    tc = _pick_tile(gates.shape[1], _FUSED_T_CHUNK)
 
-    w_ih, w_hh, b, x = residuals
+    g_in = jnp.flip(g, axis=1) if reverse else g  # into the flipped-time domain
+    if pad_b:
+        g_in = jnp.pad(g_in, ((0, pad_b), (0, 0), (0, 0)))
 
-    def ref_fn(w_ih, w_hh, b, x):
-        return lstm_layer_apply({"w_ih": w_ih, "w_hh": w_hh, "b": b}, x,
-                                reverse=reverse)
+    dgates_pad, dw_hh = lstm_recurrence_backward(
+        gates, h_pad, c_pad, w_hh, g_in, batch_tile=bt, t_chunk=min(tc, 4),
+        interpret=_auto_interpret(None),
+    )
+    dgates = dgates_pad[:b_sz]
+    if reverse:
+        dgates = jnp.flip(dgates, axis=1)  # back to input-time domain
 
-    _, vjp = jax.vjp(ref_fn, w_ih, w_hh, b, x)
-    return vjp(g)
+    dw_ih = jnp.einsum("btd,btg->dg", x, dgates)
+    dx = jnp.einsum("btg,dg->btd", dgates, w_ih)
+    db = jnp.sum(dgates, axis=(0, 1))
+    return dw_ih, dw_hh, db, dx
 
 
 lstm_layer_fused.defvjp(_fused_fwd, _fused_bwd)

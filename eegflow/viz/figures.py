@@ -346,6 +346,44 @@ def plot_forecasting_results(
     return save_figure(fig, path_base)
 
 
+def plot_comprehensive_comparison(all_results: Dict, path_base) -> List[str]:
+    """Model-zoo comparison: metric bars + accuracy CIs + radar
+    (ref 06:636-777)."""
+    models = list(all_results)
+    metrics = ["accuracy", "f1", "auc", "mcc"]
+    fig = plt.figure(figsize=(13, 4.5))
+    ax1 = fig.add_subplot(1, 3, 1)
+    xs = np.arange(len(models))
+    width = 0.8 / len(metrics)
+    for i, m in enumerate(metrics):
+        vals = [all_results[n].get(m) or np.nan for n in models]
+        ax1.bar(xs + (i - 1.5) * width, vals, width, label=m.upper())
+    ax1.set_xticks(xs, models, rotation=25, ha="right", fontsize=7)
+    ax1.legend(fontsize=7)
+    ax1.set_title("Metrics")
+
+    ax2 = fig.add_subplot(1, 3, 2)
+    accs = [all_results[n].get("accuracy") or 0 for n in models]
+    cis = [all_results[n].get("accuracy_ci_95") or [a, a]
+           for n, a in zip(models, accs)]
+    err = [[a - c[0] for a, c in zip(accs, cis)],
+           [c[1] - a for a, c in zip(accs, cis)]]
+    ax2.errorbar(xs, accs, yerr=err, fmt="o", capsize=4)
+    ax2.set_xticks(xs, models, rotation=25, ha="right", fontsize=7)
+    ax2.set_title("Accuracy (95% bootstrap CI)")
+
+    ax3 = fig.add_subplot(1, 3, 3, projection="polar")
+    angles = np.linspace(0, 2 * np.pi, len(metrics), endpoint=False).tolist()
+    for name in models:
+        vals = [all_results[name].get(m) or 0 for m in metrics]
+        vals = [max(v, 0) if v == v else 0 for v in vals]
+        ax3.plot(angles + angles[:1], vals + vals[:1], lw=1, label=name)
+        ax3.fill(angles + angles[:1], vals + vals[:1], alpha=0.08)
+    ax3.set_xticks(angles, [m.upper() for m in metrics], fontsize=7)
+    ax3.legend(fontsize=5, loc="lower right", bbox_to_anchor=(1.3, -0.15))
+    return save_figure(fig, path_base)
+
+
 def plot_ablation_results(
     results: Dict, cis: Optional[Dict] = None, path_base="ablation",
 ) -> List[str]:

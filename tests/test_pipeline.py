@@ -119,6 +119,9 @@ def test_stage_integrate(pipeline_dirs):
     assert res["evaluation"]["accuracy"] > 0.4
     sweep = json.loads((out / "results" / "coupling_analysis.json").read_text())
     assert set(sweep) == {"0.0", "0.25", "0.5", "0.75", "1.0"}
+    zoo = json.loads((out / "results" / "all_model_results.json").read_text())
+    assert "lstm_ode_integration" in zoo and "svm" in zoo
+    assert (out / "figures" / "fig15_model_zoo.png").exists()
 
 
 def test_stage_explain(pipeline_dirs):
@@ -147,6 +150,8 @@ def test_stage_ablate(pipeline_dirs):
     assert len(res["ablation"]) == 6
     assert "No Attention" in res["statistical_comparison"]
     assert res["coupling_sensitivity"] is not None  # reloaded from stage 06
+    tables = (out / "results" / "results_tables.txt").read_text()
+    assert "Architecture ablation" in tables and "McNemar" in tables
 
 
 def test_stage_export(pipeline_dirs):
