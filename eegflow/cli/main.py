@@ -144,11 +144,19 @@ def cmd_preprocess(args):
                             cfg.preprocess.val_frac, cfg.preprocess.seed)
 
     loaded = {}
+    n_skipped = 0
     for split in ("train", "val", "test"):
         loaded[split] = []
         for r in splits.get(split, []):
-            data, header = read_brainvision(r["vhdr_path"], cfg.data.crop_seconds)
+            try:  # per-recording error isolation (ref 02:221-223)
+                data, header = read_brainvision(r["vhdr_path"], cfg.data.crop_seconds)
+            except Exception as e:
+                print(f"  skipping {r['vhdr_path']}: {type(e).__name__}: {e}")
+                n_skipped += 1
+                continue
             loaded[split].append((r, data))
+    if n_skipped:
+        print(f"  skipped {n_skipped} unreadable recordings")
     arrays, meta = process_recordings(loaded, cfg.preprocess)
     meta["channel_names"] = [
         c["name"] for c in read_brainvision(recs[0]["vhdr_path"])[1]["channels"]

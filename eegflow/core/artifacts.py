@@ -70,17 +70,30 @@ def save_checkpoint(
     model_config: ModelConfig,
     history: Optional[Dict[str, Any]] = None,
     extra: Optional[Dict[str, Any]] = None,
+    backend: str = "msgpack",
 ) -> Path:
-    """Save params pytree + config + history to a checkpoint directory."""
-    from flax import serialization
+    """Save params pytree + config + history to a checkpoint directory.
 
+    ``backend='msgpack'`` (flax serialization, single file) or ``'orbax'``
+    (orbax.checkpoint PyTree handler — the production TPU checkpointing
+    stack, async-capable and sharding-aware for multi-chip runs).
+    """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     params = jax_to_numpy(params)
-    (path / "params.msgpack").write_bytes(serialization.to_bytes(params))
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((path / "orbax").absolute(), params, force=True)
+        ckptr.wait_until_finished()
+    else:
+        from flax import serialization
+
+        (path / "params.msgpack").write_bytes(serialization.to_bytes(params))
     cfg = {f: getattr(model_config, f) for f in model_config.__dataclass_fields__}
     payload = {"model_config": cfg, "history": _jsonable(history or {}),
-               "extra": _jsonable(extra or {})}
+               "extra": _jsonable(extra or {}), "backend": backend}
     (path / "checkpoint.json").write_text(json.dumps(payload, indent=2))
     return path
 
@@ -97,11 +110,20 @@ def load_checkpoint(path: str | Path, params_template: Any = None):
     path = Path(path)
     payload = json.loads((path / "checkpoint.json").read_text())
     cfg = ModelConfig(**payload["model_config"])
-    raw = (path / "params.msgpack").read_bytes()
-    if params_template is None:
-        params = _restore_lists(serialization.msgpack_restore(raw))
+    if payload.get("backend") == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore((path / "orbax").absolute(),
+                               target=params_template)
+        if params_template is None:
+            params = _restore_lists(params)
     else:
-        params = serialization.from_bytes(params_template, raw)
+        raw = (path / "params.msgpack").read_bytes()
+        if params_template is None:
+            params = _restore_lists(serialization.msgpack_restore(raw))
+        else:
+            params = serialization.from_bytes(params_template, raw)
     return params, cfg, payload.get("history", {}), payload.get("extra", {})
 
 

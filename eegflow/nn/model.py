@@ -94,7 +94,15 @@ def classifier_apply(
         h = layer_norm_apply(params["lstm_norm"], h)
 
     if config.use_attention:
-        context, attn = additive_attention_apply(params["attention"], h, compute_dtype)
+        if lstm_impl == "pallas" and not train:
+            # fused online-softmax pooling kernel (inference path; the
+            # training path keeps the XLA version for autodiff)
+            from eegflow.nn.pallas_attention import pallas_attention_apply
+
+            context, attn = pallas_attention_apply(params["attention"], h)
+        else:
+            context, attn = additive_attention_apply(params["attention"], h,
+                                                     compute_dtype)
     else:
         context = jnp.mean(h, axis=1)  # ablation fallback (ref 09:236-237)
         attn = jnp.full(h.shape[:2], 1.0 / h.shape[1], h.dtype)

@@ -65,8 +65,15 @@ def train_classifier(
     train_cfg: TrainConfig,
     mesh=None,
     verbose: bool = True,
+    checkpoint_dir=None,
+    checkpoint_every: int = 10,
 ) -> TrainResult:
-    """Full training run; returns best params + history (ref 04:406-595)."""
+    """Full training run; returns best params + history (ref 04:406-595).
+
+    ``checkpoint_dir`` enables crash-recovery snapshots: the best params so
+    far are written every ``checkpoint_every`` epochs (the reference only
+    keeps them in RAM, ref 04:573-588).
+    """
     t_start = time.time()
     rng = np.random.default_rng(train_cfg.seed)
     root_key = jax.random.key(train_cfg.seed)
@@ -157,6 +164,14 @@ def train_classifier(
                 f"Time: {epoch_time:.1f}s",
                 flush=True,
             )
+
+        if checkpoint_dir is not None and (epoch + 1) % checkpoint_every == 0:
+            from eegflow.core.artifacts import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, best_params, model_cfg,
+                            history=history,
+                            extra={"epoch": epoch + 1, "best_val_f1": best_f1,
+                                   "resumable": True})
 
         # early stopping on val F1 (ref 04:572-584)
         if val_f1 > best_f1:

@@ -107,3 +107,34 @@ def test_timer_registry():
     work()
     s = timer.summary()["work"]
     assert s["count"] == 2 and s["total_s"] >= 0
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    from eegflow.nn.model import classifier_init
+
+    cfg = ModelConfig(input_size=4, hidden_size=8, num_layers=1)
+    params = classifier_init(jax.random.key(1), cfg)
+    save_checkpoint(tmp_path / "ckpt_orbax", params, cfg, backend="orbax")
+    params2, cfg2, _, _ = load_checkpoint(tmp_path / "ckpt_orbax")
+    assert cfg2 == cfg
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_periodic_checkpoint(tmp_path, rng):
+    from eegflow.core.config import TrainConfig
+    from eegflow.train import train_classifier
+
+    cfg_m = ModelConfig(input_size=3, hidden_size=8, num_layers=1, dropout=0.0)
+    cfg_t = TrainConfig(epochs=4, batch_size=16, eval_batch_size=32,
+                        accumulation_steps=1, warmup_epochs=1, patience=10,
+                        bf16=False, augment=False)
+    x = rng.standard_normal((64, 16, 3)).astype(np.float32)
+    y = rng.integers(0, 2, 64)
+    res = train_classifier(x[:48], y[:48], x[48:], y[48:], cfg_m, cfg_t,
+                           verbose=False, checkpoint_dir=tmp_path / "snap",
+                           checkpoint_every=2)
+    params2, _, hist, extra = load_checkpoint(tmp_path / "snap")
+    assert extra["resumable"] is True
+    assert extra["epoch"] in (2, 4)
