@@ -44,9 +44,12 @@ def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=20):
     tx = make_optimizer(train_cfg, updates_per_epoch=100)
     state = TrainState(params, tx.init(params), jnp.asarray(0))
     step = make_train_step(model_cfg, train_cfg, tx, donate=True)
+    t_c = time.perf_counter()
     for i in range(3):  # compile + warmup
         state, metrics = step(state, x, y, jax.random.key(i))
     jax.block_until_ready(metrics["loss"])
+    sys.stderr.write(f"#   compiled+warm in {time.perf_counter() - t_c:.1f}s\n")
+    sys.stderr.flush()
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, x, y, jax.random.key(100 + i))
@@ -80,8 +83,10 @@ def main():
     results = {}
     for impl in ("scan", "pallas"):
         cfg = dataclasses.replace(base_cfg, lstm_impl=impl)
+        sys.stderr.write(f"# timing train[{impl}]...\n")
+        sys.stderr.flush()
         try:
-            dt_step, loss = _time_train_steps(model_cfg, cfg, x, y)
+            dt_step, loss = _time_train_steps(model_cfg, cfg, x, y, n_steps=10)
             results[impl] = dt_step
             sys.stderr.write(
                 f"# train[{impl}]: {dt_step * 1e3:.1f} ms/step "
