@@ -23,12 +23,42 @@ dependency-chained 8192^3 matmul, so absolute numbers reflect the tunnel.)
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 REFERENCE_WINDOWS_PER_SEC_ESTIMATE = 2000.0
+
+#: watchdog state: best throughput measured so far (the TPU tunnel in this
+#: environment intermittently stalls on data fetches; the watchdog guarantees
+#: the driver always receives the one JSON line with partial results)
+_PARTIAL = {"windows_per_sec": None}
+WATCHDOG_SECONDS = float(os.environ.get("EEGFLOW_BENCH_WATCHDOG", "480"))
+
+
+def _emit(windows_per_sec: float) -> None:
+    print(json.dumps({
+        "metric": "windows_per_sec_per_chip",
+        "value": round(float(windows_per_sec), 1),
+        "unit": "windows/s",
+        "vs_baseline": round(
+            float(windows_per_sec / REFERENCE_WINDOWS_PER_SEC_ESTIMATE), 2
+        ),
+    }), flush=True)
+
+
+def _watchdog():
+    if _PARTIAL["windows_per_sec"] is not None:
+        sys.stderr.write("# watchdog fired — emitting partial result\n")
+        _emit(_PARTIAL["windows_per_sec"])
+    else:
+        sys.stderr.write("# watchdog fired before any measurement completed\n")
+        _emit(0.0)
+    sys.stderr.flush()
+    os._exit(0)
 
 
 def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=20):
@@ -50,15 +80,24 @@ def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=20):
     jax.block_until_ready(metrics["loss"])
     sys.stderr.write(f"#   compiled+warm in {time.perf_counter() - t_c:.1f}s\n")
     sys.stderr.flush()
+    # block per step: honest per-step latency, and the tunneled runtime in
+    # this environment stalls when many donated steps are left in flight
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, x, y, jax.random.key(100 + i))
-    jax.block_until_ready(metrics["loss"])
+        jax.block_until_ready(metrics["loss"])
+        sys.stderr.write(f"#   step {i + 1}/{n_steps} done\r")
+    sys.stderr.write("\n")
+    sys.stderr.flush()
     dt = time.perf_counter() - t0
-    return dt / n_steps, float(metrics["loss"])
+    return dt / n_steps, metrics  # caller fetches loss AFTER recording timing
 
 
 def main():
+    timer = threading.Timer(WATCHDOG_SECONDS, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     import dataclasses
 
     import jax
@@ -86,14 +125,20 @@ def main():
         sys.stderr.write(f"# timing train[{impl}]...\n")
         sys.stderr.flush()
         try:
-            dt_step, loss = _time_train_steps(model_cfg, cfg, x, y, n_steps=10)
+            dt_step, metrics = _time_train_steps(model_cfg, cfg, x, y, n_steps=10)
             results[impl] = dt_step
+            wps = base_cfg.batch_size / dt_step / n_chips
+            if _PARTIAL["windows_per_sec"] is None or wps > _PARTIAL["windows_per_sec"]:
+                _PARTIAL["windows_per_sec"] = wps
             sys.stderr.write(
                 f"# train[{impl}]: {dt_step * 1e3:.1f} ms/step "
-                f"({base_cfg.batch_size / dt_step:.0f} windows/s), loss={loss:.4f}\n"
+                f"({base_cfg.batch_size / dt_step:.0f} windows/s)\n"
             )
+            sys.stderr.flush()
+            sys.stderr.write(f"#   loss={float(metrics['loss']):.4f}\n")
         except Exception as e:  # pallas may be unavailable off-TPU
             sys.stderr.write(f"# train[{impl}] failed: {type(e).__name__}: {e}\n")
+        sys.stderr.flush()
 
     best_impl = min(results, key=results.get)
     dt_step = results[best_impl]
@@ -119,12 +164,8 @@ def main():
         f"# coupled inference: {base_cfg.batch_size / dt_inf:.0f} samples/s/chip\n"
     )
 
-    print(json.dumps({
-        "metric": "windows_per_sec_per_chip",
-        "value": round(float(windows_per_sec), 1),
-        "unit": "windows/s",
-        "vs_baseline": round(float(windows_per_sec / REFERENCE_WINDOWS_PER_SEC_ESTIMATE), 2),
-    }))
+    timer.cancel()
+    _emit(windows_per_sec)
 
 
 if __name__ == "__main__":

@@ -315,7 +315,7 @@ def _load_coupled_model(paths, cfg):
     return CoupledModel(
         params=params, model_cfg=model_cfg,
         k_base=rates_to_array(ode_results["fitted_params"]),
-        coupling=cfg.coupling,
+        coupling=cfg.coupling, lstm_impl=cfg.train.lstm_impl,
     )
 
 

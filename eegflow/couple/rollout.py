@@ -33,6 +33,7 @@ class CoupledModel:
     model_cfg: ModelConfig
     k_base: jnp.ndarray  # (6,)
     coupling: CouplingConfig
+    lstm_impl: str = "scan"
 
 
 @functools.partial(
@@ -106,6 +107,7 @@ def predict_batch(
             forecast_steps=steps, alpha=model.coupling.coupling_strength,
             rate_floor=model.coupling.rate_floor,
             init_threshold=model.coupling.init_threshold,
+            lstm_impl=model.lstm_impl,
         )
         for name, val in res.items():
             out.setdefault(name, []).append(np.asarray(val)[:k])
@@ -127,6 +129,7 @@ def predict_trajectory(
         forecast_steps=forecast_steps, alpha=model.coupling.coupling_strength,
         rate_floor=model.coupling.rate_floor,
         init_threshold=model.coupling.init_threshold,
+        lstm_impl=model.lstm_impl,
     )
     traj = np.asarray(res["trajectories"])[0]
     if initial_state is not None:

@@ -44,22 +44,25 @@ def _attention_pool_kernel(
                 preferred_element_type=jnp.float32) + b1_ref[0, :]
     )  # (Bt*Tc, D/2)
     s = jnp.sum(proj * w2_ref[0, :], axis=-1).reshape(bt, tc)  # (Bt, Tc)
-    scores_scratch[:, pl.ds(j * t_chunk, t_chunk)] = s
+    # chunk index is a leading (untiled) scratch dim — lane-alignment-safe
+    scores_scratch[j] = s
 
     m_old = m_ref[:]  # (Bt, 1)
     m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
     scale = jnp.exp(m_old - m_new)
     p = jnp.exp(s - m_new)  # (Bt, Tc)
     l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * scale + jnp.einsum(
-        "bt,btd->bd", p, h, preferred_element_type=jnp.float32
-    )
+    # batched-dim dot_general doesn't lower in Mosaic; multiply-reduce on the
+    # VPU instead (p broadcasts over the feature axis)
+    acc_ref[:] = acc_ref[:] * scale + jnp.sum(p[:, :, None] * h, axis=1)
     m_ref[:] = m_new
 
     @pl.when(j == n_chunks - 1)
     def _finalize():
         ctx_out_ref[:] = acc_ref[:] / l_ref[:]
-        scores_out_ref[:] = scores_scratch[:]
+        # static per-chunk copies into the (Bt, T) output layout
+        for c in range(scores_scratch.shape[0]):
+            scores_out_ref[:, c * t_chunk : (c + 1) * t_chunk] = scores_scratch[c]
 
 
 @functools.partial(
@@ -107,10 +110,10 @@ def attention_pool_pallas(
             jax.ShapeDtypeStruct((b, d), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((batch_tile, 1), jnp.float32),   # running max
-            pltpu.VMEM((batch_tile, 1), jnp.float32),   # running denom
-            pltpu.VMEM((batch_tile, d), jnp.float32),   # weighted accumulator
-            pltpu.VMEM((batch_tile, t), jnp.float32),   # raw scores
+            pltpu.VMEM((batch_tile, 1), jnp.float32),         # running max
+            pltpu.VMEM((batch_tile, 1), jnp.float32),         # running denom
+            pltpu.VMEM((batch_tile, d), jnp.float32),         # weighted acc
+            pltpu.VMEM((t // t_chunk, batch_tile, t_chunk), jnp.float32),  # scores
         ],
         interpret=interpret,
     )(h.astype(jnp.float32), w1.astype(jnp.float32),

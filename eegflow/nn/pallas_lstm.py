@@ -279,8 +279,8 @@ def lstm_recurrence_backward(
     c_seq: jnp.ndarray,
     w_hh: jnp.ndarray,
     g_out: jnp.ndarray,
-    batch_tile: int = 128,
-    t_chunk: int = 4,
+    batch_tile: int = 64,
+    t_chunk: int = 8,
     interpret: bool = False,
 ):
     """Backward through the recurrence: returns (dgates (B,T,4H), dw_hh (H,4H)).
@@ -397,8 +397,10 @@ def _fused_bwd(reverse, residuals, g):
     w_ih, w_hh, x, gates, h_pad, c_pad = residuals
     b_sz = x.shape[0]
     pad_b = gates.shape[0] - b_sz
-    bt = _pick_tile(gates.shape[0], _FUSED_BATCH_TILE) \
-        if gates.shape[0] < _FUSED_BATCH_TILE else _FUSED_BATCH_TILE
+    # TPU tiling: the block's sublane dim (t_chunk) must divide by 8, so the
+    # backward uses t_chunk=8 with a smaller batch tile to stay in VMEM.
+    bwd_bt = 64
+    bt = _pick_tile(gates.shape[0], bwd_bt) if gates.shape[0] < bwd_bt else bwd_bt
     tc = _pick_tile(gates.shape[1], _FUSED_T_CHUNK)
 
     g_in = jnp.flip(g, axis=1) if reverse else g  # into the flipped-time domain
@@ -406,7 +408,7 @@ def _fused_bwd(reverse, residuals, g):
         g_in = jnp.pad(g_in, ((0, pad_b), (0, 0), (0, 0)))
 
     dgates_pad, dw_hh = lstm_recurrence_backward(
-        gates, h_pad, c_pad, w_hh, g_in, batch_tile=bt, t_chunk=min(tc, 4),
+        gates, h_pad, c_pad, w_hh, g_in, batch_tile=bt, t_chunk=tc,
         interpret=_auto_interpret(None),
     )
     dgates = dgates_pad[:b_sz]

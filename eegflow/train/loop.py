@@ -46,9 +46,10 @@ def predict_probs(
     batch_size: int = 1024,
     bf16: bool = True,
     eval_step=None,
+    lstm_impl: str = "scan",
 ) -> np.ndarray:
     """Batched inference -> (N, num_classes) probabilities."""
-    step = eval_step or make_eval_step(model_cfg, bf16=bf16)
+    step = eval_step or make_eval_step(model_cfg, bf16=bf16, lstm_impl=lstm_impl)
     out = []
     for xb, _, mask in padded_eval_batches(x, np.zeros(len(x), np.int64), batch_size):
         probs = np.asarray(step(params, jnp.asarray(xb)))
@@ -67,15 +68,17 @@ def train_classifier(
     verbose: bool = True,
     checkpoint_dir=None,
     checkpoint_every: int = 10,
+    resume_from=None,
 ) -> TrainResult:
     """Full training run; returns best params + history (ref 04:406-595).
 
-    ``checkpoint_dir`` enables crash-recovery snapshots: the best params so
-    far are written every ``checkpoint_every`` epochs (the reference only
-    keeps them in RAM, ref 04:573-588).
+    ``checkpoint_dir`` enables crash-recovery snapshots (best params + full
+    optimizer state + history) every ``checkpoint_every`` epochs; pass that
+    directory as ``resume_from`` to continue an interrupted run mid-training
+    — finer granularity than the reference's whole-script resume. Epoch-level
+    sampling is seeded per epoch, so a resumed run draws the same batches.
     """
     t_start = time.time()
-    rng = np.random.default_rng(train_cfg.seed)
     root_key = jax.random.key(train_cfg.seed)
 
     params = classifier_init(jax.random.fold_in(root_key, 0), model_cfg)
@@ -85,6 +88,25 @@ def train_classifier(
     tx = make_optimizer(train_cfg, updates_per_epoch)
     opt_state = tx.init(params)
     state = TrainState(params, opt_state, jnp.asarray(0))
+
+    start_epoch = 0
+    resume_payload = None
+    if resume_from is not None:
+        from eegflow.core.artifacts import load_checkpoint
+        from flax import serialization
+        from pathlib import Path
+
+        _, _, resume_history, extra = load_checkpoint(resume_from)
+        snap = Path(resume_from) / "train_state.msgpack"
+        if snap.exists():
+            restored = serialization.from_bytes(
+                {"params": params, "opt_state": opt_state}, snap.read_bytes()
+            )
+            params, opt_state = restored["params"], restored["opt_state"]
+            state = TrainState(params, opt_state,
+                               jnp.asarray(int(extra.get("step", 0))))
+            start_epoch = int(extra.get("epoch", 0))
+            resume_payload = (resume_history, extra)
 
     cw = class_weight_array(y_train, model_cfg.num_classes)
     step = make_train_step(model_cfg, train_cfg, tx, class_weights=cw, mesh=mesh)
@@ -109,8 +131,17 @@ def train_classifier(
     total_windows = 0
     step_time = 0.0
 
-    for epoch in range(train_cfg.epochs):
+    if resume_payload is not None:
+        resume_history, extra = resume_payload
+        for k in history:
+            history[k] = list(resume_history.get(k, []))[:start_epoch]
+        best_f1 = float(extra.get("best_val_f1", 0.0))
+        epochs_run = start_epoch
+
+    for epoch in range(start_epoch, train_cfg.epochs):
         ep_start = time.time()
+        # per-epoch seeded sampling: a resumed run draws the same batches
+        rng = np.random.default_rng(train_cfg.seed * 1_000_003 + epoch)
         if train_cfg.weighted_sampling:
             indices = weighted_epoch_indices(y_train, rng)
         else:
@@ -166,12 +197,21 @@ def train_classifier(
             )
 
         if checkpoint_dir is not None and (epoch + 1) % checkpoint_every == 0:
-            from eegflow.core.artifacts import save_checkpoint
+            from pathlib import Path
+
+            from flax import serialization
+
+            from eegflow.core.artifacts import jax_to_numpy, save_checkpoint
 
             save_checkpoint(checkpoint_dir, best_params, model_cfg,
                             history=history,
                             extra={"epoch": epoch + 1, "best_val_f1": best_f1,
+                                   "step": int(state.step),
                                    "resumable": True})
+            snap = serialization.to_bytes(jax_to_numpy(
+                {"params": state.params, "opt_state": state.opt_state}
+            ))
+            (Path(checkpoint_dir) / "train_state.msgpack").write_bytes(snap)
 
         # early stopping on val F1 (ref 04:572-584)
         if val_f1 > best_f1:

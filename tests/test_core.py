@@ -138,3 +138,34 @@ def test_train_periodic_checkpoint(tmp_path, rng):
     params2, _, hist, extra = load_checkpoint(tmp_path / "snap")
     assert extra["resumable"] is True
     assert extra["epoch"] in (2, 4)
+
+
+def test_train_resume_matches_uninterrupted(tmp_path, rng):
+    """Interrupt at epoch 2 of 4, resume, and match the uninterrupted run."""
+    import dataclasses
+
+    from eegflow.core.config import TrainConfig
+    from eegflow.train import train_classifier
+
+    cfg_m = ModelConfig(input_size=3, hidden_size=8, num_layers=1, dropout=0.0)
+    base = TrainConfig(epochs=4, batch_size=16, eval_batch_size=32,
+                       accumulation_steps=1, warmup_epochs=1, patience=10,
+                       bf16=False, augment=False)
+    x = rng.standard_normal((96, 16, 3)).astype(np.float32)
+    y = (x[:, :, 0].mean(1) > 0).astype(np.int64)
+    args = (x[:48], y[:48], x[48:], y[48:], cfg_m)
+
+    full = train_classifier(*args, base, verbose=False)
+
+    half_cfg = dataclasses.replace(base, epochs=2)
+    train_classifier(*args, half_cfg, verbose=False,
+                     checkpoint_dir=tmp_path / "snap", checkpoint_every=2)
+    resumed = train_classifier(*args, base, verbose=False,
+                               resume_from=tmp_path / "snap")
+
+    assert resumed.epochs_run == 4
+    assert len(resumed.history["val_f1"]) == 4
+    np.testing.assert_allclose(resumed.history["val_f1"],
+                               full.history["val_f1"], atol=1e-5)
+    np.testing.assert_allclose(resumed.history["train_loss"],
+                               full.history["train_loss"], atol=1e-4)
