@@ -21,7 +21,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from eegflow.analyze.evaluate import evaluate_model
-from eegflow.signal.features import extract_features, feature_names
+from eegflow.signal.features import extract_features
 
 
 def load_or_extract_features(

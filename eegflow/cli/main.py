@@ -10,7 +10,6 @@ Artifacts land under the reference's directory contract:
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 from pathlib import Path
@@ -25,7 +24,7 @@ from eegflow.core.artifacts import (
     save_processed,
     save_results,
 )
-from eegflow.core.config import ModelConfig, PipelineConfig
+from eegflow.core.config import PipelineConfig
 
 
 def _paths(args) -> dict:

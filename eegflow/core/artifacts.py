@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from eegflow.core.config import ModelConfig, PipelineConfig
+from eegflow.core.config import ModelConfig
 
 
 # ---------------------------------------------------------------------------

@@ -99,8 +99,6 @@ def kernel_shap_channel_importance(
 ) -> Dict[str, object]:
     """Channel importance via KernelSHAP on time-mean-collapsed windows
     (ref 07:364-508). Returns mean |SHAP| per channel plus raw values."""
-    import jax.numpy as jnp
-
     from eegflow.train.loop import predict_probs
 
     rng = np.random.RandomState(seed)

@@ -31,7 +31,7 @@ import numpy as np
 from jax import lax
 
 from eegflow.core.config import ODEConfig
-from eegflow.ode.field import RATE_NAMES, rates_to_dict
+from eegflow.ode.field import rates_to_dict
 from eegflow.ode.integrate import rk4_solve
 
 
