@@ -169,3 +169,18 @@ def test_train_resume_matches_uninterrupted(tmp_path, rng):
                                full.history["val_f1"], atol=1e-5)
     np.testing.assert_allclose(resumed.history["train_loss"],
                                full.history["train_loss"], atol=1e-4)
+
+
+def test_metrics_registry():
+    from eegflow.core.registry import available_metrics, compute_metrics, get_metric
+
+    y_true = np.array([0, 1, 1, 0, 1])
+    y_pred = np.array([0, 1, 0, 0, 1])
+    y_prob = np.array([0.1, 0.9, 0.4, 0.2, 0.8])
+    out = compute_metrics(["accuracy", "f1", "auc", "mcc"], y_true, y_pred, y_prob)
+    assert out["accuracy"] == 0.8
+    assert 0 < out["f1"] <= 1 and 0 <= out["auc"] <= 1
+    assert "precision" in available_metrics()
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        get_metric("nope")
