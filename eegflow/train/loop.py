@@ -147,7 +147,11 @@ def train_classifier(
         else:
             indices = rng.permutation(len(y_train))
 
-        ep_loss, ep_correct, ep_count = 0.0, 0, 0
+        # metrics stay on device until epoch end: forcing float() per step
+        # would sync the host every batch and kill dispatch pipelining
+        batch_metrics = []
+        ep_count = 0
+        t_epoch_steps = time.time()
         for b_idx, (xb, yb) in enumerate(
             batch_iterator(x_train, y_train, train_cfg.batch_size, indices)
         ):
@@ -155,13 +159,15 @@ def train_classifier(
             xb_j, yb_j = jnp.asarray(xb), jnp.asarray(yb)
             if mesh is not None:
                 xb_j, yb_j = shard_batch((xb_j, yb_j), mesh)
-            t0 = time.time()
             state, metrics = step(state, xb_j, yb_j, key)
-            ep_loss += float(metrics["loss"]) * len(yb)
-            step_time += time.time() - t0
-            ep_correct += int(metrics["correct"])
+            batch_metrics.append((metrics, len(yb)))
             ep_count += len(yb)
             total_windows += len(yb)
+        if batch_metrics:
+            jax.block_until_ready(batch_metrics[-1][0]["loss"])
+        step_time += time.time() - t_epoch_steps
+        ep_loss = sum(float(m["loss"]) * n for m, n in batch_metrics)
+        ep_correct = sum(int(m["correct"]) for m, n in batch_metrics)
 
         # validation (padded static-shape batches)
         val_probs = predict_probs(state.params, x_val, model_cfg,
