@@ -191,3 +191,21 @@ def test_train_with_mesh_end_to_end(rng, eight_device_mesh):
                            mesh=eight_device_mesh, verbose=False)
     assert res.epochs_run == 4
     assert np.isfinite(res.history["train_loss"]).all()
+
+
+def test_training_fully_deterministic(rng):
+    """Same seed -> bitwise-identical history (the framework's determinism
+    control, replacing the reference's cudnn.deterministic flag)."""
+    x, y = _toy_data(rng, n=128)
+    cfg = TrainConfig(epochs=3, batch_size=32, eval_batch_size=64,
+                      accumulation_steps=1, learning_rate=3e-3, warmup_epochs=1,
+                      patience=10, bf16=False, augment=False)
+    r1 = train_classifier(x[:96], y[:96], x[96:], y[96:], TOY_MODEL, cfg,
+                          verbose=False)
+    r2 = train_classifier(x[:96], y[:96], x[96:], y[96:], TOY_MODEL, cfg,
+                          verbose=False)
+    assert r1.history["train_loss"] == r2.history["train_loss"]
+    assert r1.history["val_f1"] == r2.history["val_f1"]
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_array_equal(a, b)
