@@ -95,11 +95,18 @@ def kernel_shap_channel_importance(
     seq_len: Optional[int] = None,
     seed: int = 42,
     channel_names: Optional[Sequence[str]] = None,
-    batch_size: int = 4096,
+    batch_size: int = 10240,
 ) -> Dict[str, object]:
     """Channel importance via KernelSHAP on time-mean-collapsed windows
     (ref 07:364-508). Returns mean |SHAP| per channel plus raw values."""
     from eegflow.train.loop import predict_probs
+
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from eegflow.nn.model import classifier_apply
 
     rng = np.random.RandomState(seed)
     t = seq_len or x.shape[1]
@@ -112,10 +119,28 @@ def kernel_shap_channel_importance(
     background = collapsed[bg_idx]
     explain = collapsed[ex_idx]
 
+    @_ft.partial(jax.jit, static_argnames=())
+    def _rows_to_prob(p, rows):
+        # tile across time ON DEVICE (ref 07:420-439 tiled on host) — only the
+        # (B, C) feature rows cross the host->device boundary
+        tiled = jnp.broadcast_to(rows[:, None, :], (rows.shape[0], t, rows.shape[1]))
+        logits = classifier_apply(p, tiled, model_cfg, train=False,
+                                  compute_dtype=jnp.bfloat16)
+        return jax.nn.softmax(logits, axis=-1)[:, 1]
+
     def f_batch(feat_rows: np.ndarray) -> np.ndarray:
-        tiled = np.repeat(feat_rows[:, None, :], t, axis=1).astype(np.float32)
-        probs = predict_probs(params, tiled, model_cfg, batch_size)
-        return probs[:, 1]  # class-1 (eyes closed) probability
+        out = []
+        n = len(feat_rows)
+        for i in range(0, n, batch_size):
+            chunk = feat_rows[i : i + batch_size].astype(np.float32)
+            k = len(chunk)
+            if k < batch_size and n > batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - k, chunk.shape[1]), np.float32)]
+                )
+            probs = np.asarray(_rows_to_prob(params, jnp.asarray(chunk)))
+            out.append(probs[:k])
+        return np.concatenate(out)  # class-1 (eyes closed) probability
 
     values = kernel_shap_values(f_batch, explain, background, nsamples, seed)
     importance = np.abs(values).mean(axis=0)
