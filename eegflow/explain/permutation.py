@@ -24,7 +24,7 @@ def permutation_channel_importance(
     y: np.ndarray,
     n_permutations: int = 5,
     n_samples: int = 1000,
-    batch_size: int = 1024,
+    batch_size: int = 5120,
     seed: int = 42,
     channel_names: Optional[Sequence[str]] = None,
 ) -> Dict[str, object]:
@@ -36,22 +36,23 @@ def permutation_channel_importance(
     n_channels = x.shape[2]
     eval_step = make_eval_step(model_cfg)
 
-    def accuracy(data: np.ndarray) -> float:
+    def predictions(data: np.ndarray) -> np.ndarray:
         probs = predict_probs(params, data, model_cfg, batch_size,
                               eval_step=eval_step)
-        return float((probs.argmax(1) == y).mean())
+        return probs.argmax(1)
 
-    baseline_acc = accuracy(x)
+    baseline_acc = float((predictions(x) == y).mean())
 
     importance = []
     for ch in range(n_channels):
-        drops = []
-        for _ in range(n_permutations):
+        # all repeats of this channel evaluate as ONE stacked batch
+        stacked = np.tile(x, (n_permutations, 1, 1))
+        for r in range(n_permutations):
             perm = rng.permutation(n)
-            x_perm = x.copy()
-            x_perm[:, :, ch] = x[perm, :, ch]
-            drops.append(baseline_acc - accuracy(x_perm))
-        importance.append(float(np.mean(drops)))
+            stacked[r * n : (r + 1) * n, :, ch] = x[perm, :, ch]
+        preds = predictions(stacked).reshape(n_permutations, n)
+        accs = (preds == y[None, :]).mean(axis=1)
+        importance.append(float(np.mean(baseline_acc - accs)))
 
     names = list(channel_names) if channel_names else [
         f"Ch{i+1}" for i in range(n_channels)
