@@ -152,17 +152,23 @@ def main():
     # coupled LSTM->ODE inference throughput (the stage-06 hot path)
     params = classifier_init(jax.random.key(0), model_cfg)
     k = rates_to_array(DEFAULT_RATES)
-    roll = lambda: coupled_rollout(params, x, k, model_cfg, forecast_steps=20,
-                                   lstm_impl=best_impl)
-    jax.block_until_ready(roll()["probs"])
-    t0 = time.perf_counter()
-    for _ in range(10):
-        out = roll()
-    jax.block_until_ready(out["probs"])
-    dt_inf = (time.perf_counter() - t0) / 10
-    sys.stderr.write(
-        f"# coupled inference: {base_cfg.batch_size / dt_inf:.0f} samples/s/chip\n"
-    )
+    for impl in results:
+        try:
+            roll = lambda: coupled_rollout(params, x, k, model_cfg,
+                                           forecast_steps=20, lstm_impl=impl)
+            jax.block_until_ready(roll()["probs"])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = roll()
+            jax.block_until_ready(out["probs"])
+            dt_inf = (time.perf_counter() - t0) / 10
+            sys.stderr.write(
+                f"# coupled inference[{impl}]: "
+                f"{base_cfg.batch_size / dt_inf:.0f} samples/s/chip\n"
+            )
+            sys.stderr.flush()
+        except Exception as e:
+            sys.stderr.write(f"# coupled inference[{impl}] failed: {e}\n")
 
     timer.cancel()
     _emit(windows_per_sec)

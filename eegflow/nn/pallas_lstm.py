@@ -33,8 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref, *,
-                       t_chunk: int, hidden: int):
-    """One (batch_tile, time_chunk) grid step of the recurrence."""
+                       t_chunk: int, hidden: int, bf16: bool = False):
+    """One (batch_tile, time_chunk) grid step of the recurrence.
+
+    ``bf16`` runs the recurrent matmul in bfloat16 (W_hh arrives bf16, h is
+    cast per step) with f32 accumulation; the carried state stays f32.
+    """
 
     @pl.when(pl.program_id(1) == 0)
     def _reset_state():
@@ -44,8 +48,9 @@ def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref,
     def step(i, _):
         h = h_ref[:]
         c = c_ref[:]
+        h_mm = h.astype(jnp.bfloat16) if bf16 else h
         z = gates_ref[:, i, :] + jnp.dot(
-            h, w_hh_ref[:], preferred_element_type=jnp.float32
+            h_mm, w_hh_ref[:], preferred_element_type=jnp.float32
         )
         gi = jax.nn.sigmoid(z[:, :hidden])
         gf = jax.nn.sigmoid(z[:, hidden : 2 * hidden])
@@ -64,7 +69,8 @@ def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "collect_cell")
+    jax.jit,
+    static_argnames=("batch_tile", "t_chunk", "interpret", "collect_cell", "bf16"),
 )
 def lstm_recurrence_pallas(
     gates_all: jnp.ndarray,
@@ -73,6 +79,7 @@ def lstm_recurrence_pallas(
     t_chunk: int = 8,
     interpret: bool = False,
     collect_cell: bool = False,
+    bf16: bool = False,
 ):
     """(B, T, 4H) precomputed gates + (H, 4H) W_hh -> (B, T, H) hidden states
     (plus the cell-state sequence when ``collect_cell`` — the training path
@@ -90,14 +97,14 @@ def lstm_recurrence_pallas(
 
     if collect_cell:
         kernel = functools.partial(_lstm_chunk_kernel, t_chunk=t_chunk,
-                                   hidden=hidden)
+                                   hidden=hidden, bf16=bf16)
         out_specs = (block, block)
         out_shape = (jax.ShapeDtypeStruct((b, t, hidden), jnp.float32),
                      jax.ShapeDtypeStruct((b, t, hidden), jnp.float32))
     else:
         def kernel(gates_ref, w_hh_ref, out_ref, h_ref, c_ref):
             _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, None, h_ref, c_ref,
-                               t_chunk=t_chunk, hidden=hidden)
+                               t_chunk=t_chunk, hidden=hidden, bf16=bf16)
 
         out_specs = block
         out_shape = jax.ShapeDtypeStruct((b, t, hidden), jnp.float32)
@@ -123,7 +130,8 @@ def lstm_recurrence_pallas(
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # c
         ],
         interpret=interpret,
-    )(gates_all.astype(jnp.float32), w_hh.astype(jnp.float32))
+    )(gates_all.astype(jnp.float32),
+      w_hh.astype(jnp.bfloat16 if bf16 else jnp.float32))
 
 
 def _auto_interpret(interpret: Optional[bool]) -> bool:

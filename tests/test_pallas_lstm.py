@@ -82,3 +82,17 @@ def test_classifier_pallas_impl_matches_scan():
     ref = np.asarray(classifier_apply(params, x, cfg, lstm_impl="scan"))
     ours = np.asarray(classifier_apply(params, x, cfg, lstm_impl="pallas"))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_bf16_option_close_to_f32():
+    params = lstm_layer_init(jax.random.key(6), 16, 16)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((4, 16, 16)), jnp.float32)
+    gates = jnp.einsum("btd,dg->btg", x, params["w_ih"]) + params["b"]
+    from eegflow.nn.pallas_lstm import lstm_recurrence_pallas
+
+    f32 = np.asarray(lstm_recurrence_pallas(gates, params["w_hh"], batch_tile=4,
+                                            t_chunk=8, interpret=True))
+    bf16 = np.asarray(lstm_recurrence_pallas(gates, params["w_hh"], batch_tile=4,
+                                             t_chunk=8, interpret=True, bf16=True))
+    assert np.max(np.abs(f32 - bf16)) < 0.05
+    assert np.corrcoef(f32.ravel(), bf16.ravel())[0, 1] > 0.999
