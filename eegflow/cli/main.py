@@ -535,8 +535,9 @@ def cmd_export(args):
 
 
 def cmd_all(args):
-    for fn in (cmd_preprocess, cmd_baselines, cmd_train, cmd_fit_ode,
-               cmd_integrate, cmd_explain, cmd_forecast, cmd_ablate, cmd_export):
+    for fn in (cmd_explore, cmd_preprocess, cmd_baselines, cmd_train,
+               cmd_fit_ode, cmd_integrate, cmd_explain, cmd_forecast,
+               cmd_ablate, cmd_export):
         print(f"\n===== {fn.__name__[4:]} =====")
         rc = fn(args)
         if rc:

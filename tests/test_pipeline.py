@@ -168,3 +168,10 @@ def test_stage_export(pipeline_dirs):
     assert len(pdf) == 5
     summary = json.loads((out / "results" / "three_state_summary.json").read_text())
     assert "test" in summary
+
+
+def test_download_requires_confirmation(tmp_path, capsys):
+    """download without -y refuses before touching the network (ref -y flag)."""
+    rc = main(["--data-dir", str(tmp_path), "download"])
+    assert rc == 1
+    assert "Pass -y to confirm" in capsys.readouterr().out
