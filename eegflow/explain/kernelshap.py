@@ -41,6 +41,25 @@ def _sample_coalitions(rng: np.random.RandomState, n_features: int, nsamples: in
     return np.asarray(masks[:nsamples])
 
 
+def _enumerate_coalitions(n_features: int):
+    """All 2^C - 2 non-trivial coalitions with exact Shapley-kernel weights
+    (what scipy's shap does when the budget allows — gives EXACT Shapley
+    values from the weighted regression)."""
+    from itertools import combinations
+    from math import comb
+
+    c = n_features
+    masks, weights = [], []
+    for s in range(1, c):
+        w = (c - 1) / (comb(c, s) * s * (c - s))
+        for members in combinations(range(c), s):
+            z = np.zeros(c, dtype=np.float64)
+            z[list(members)] = 1.0
+            masks.append(z)
+            weights.append(w)
+    return np.asarray(masks), np.asarray(weights)
+
+
 def kernel_shap_values(
     f_batch: Callable[[np.ndarray], np.ndarray],
     x_explain: np.ndarray,
@@ -51,7 +70,12 @@ def kernel_shap_values(
     """SHAP values (n_explain, C) for a scalar-output model ``f_batch``.
 
     ``f_batch`` maps (N, C) feature rows to (N,) outputs and is called once
-    per explained sample with the full (nsamples * n_background, C) matrix.
+    per explained sample with the full (M * n_background, C) matrix.
+
+    When all 2^C - 2 coalitions fit the ``nsamples`` budget they are
+    enumerated with exact Shapley-kernel weights (the result is then the
+    exact Shapley value under the background distribution, matching shap's
+    exhaustive mode); otherwise coalitions are sampled from the kernel.
     """
     rng = np.random.RandomState(seed)
     x_explain = np.asarray(x_explain, np.float64)
@@ -62,22 +86,29 @@ def kernel_shap_values(
     phi0 = float(np.mean(f_batch(background)))
     fx_all = np.asarray(f_batch(x_explain), np.float64)
 
-    shap_values = np.zeros((n_explain, c))
-    z = _sample_coalitions(rng, c, nsamples)  # (M, C)
+    if c <= 24 and 2**c - 2 <= nsamples:
+        z, weights = _enumerate_coalitions(c)
+    else:
+        z = _sample_coalitions(rng, c, nsamples)  # (M, C)
+        weights = np.ones(len(z))
+    m = len(z)
+    sqrt_w = np.sqrt(weights)[:, None]
 
+    shap_values = np.zeros((n_explain, c))
     for i in range(n_explain):
         x = x_explain[i]
         # synthetic inputs: for each coalition, x where z=1 else background rows
         synth = np.where(
             z[:, None, :] > 0, x[None, None, :], background[None, :, :]
         ).reshape(-1, c)  # (M*nb, C)
-        v = np.asarray(f_batch(synth), np.float64).reshape(nsamples, nb).mean(axis=1)
+        v = np.asarray(f_batch(synth), np.float64).reshape(m, nb).mean(axis=1)
 
         fx = fx_all[i]
-        # eliminate last feature via the sum constraint
+        # eliminate last feature via the sum constraint; weighted LSQ
         target = v - phi0 - z[:, -1] * (fx - phi0)
         design = z[:, :-1] - z[:, -1:]
-        coef, *_ = np.linalg.lstsq(design, target, rcond=None)
+        coef, *_ = np.linalg.lstsq(design * sqrt_w, target * sqrt_w[:, 0],
+                                   rcond=None)
         phi = np.empty(c)
         phi[:-1] = coef
         phi[-1] = (fx - phi0) - coef.sum()

@@ -132,3 +132,39 @@ def test_compare_importance_methods():
     assert corr.shape == (2, 2)
     assert corr[0, 1] > 0.9
     assert res["consensus_ranking"][0] == "c1"
+
+
+def test_kernel_shap_exact_enumeration_matches_brute_force(rng):
+    """With the full coalition set, KernelSHAP must equal brute-force Shapley
+    values (background-mean value function) to numerical precision."""
+    from itertools import combinations
+    from math import comb, factorial
+
+    c = 5
+    w = rng.standard_normal(c)
+    bg = rng.standard_normal((12, c))
+    x = rng.standard_normal((2, c))
+
+    def f(rows):
+        return np.tanh(rows @ w) + 0.3 * (rows[:, 0] * rows[:, 1])
+
+    def value(sample, members):
+        synth = np.tile(bg, (1, 1)).copy()
+        synth[:, list(members)] = sample[list(members)]
+        return f(synth).mean()
+
+    def brute_shapley(sample):
+        phi = np.zeros(c)
+        for j in range(c):
+            others = [k for k in range(c) if k != j]
+            for s in range(c):
+                for subset in combinations(others, s):
+                    weight = factorial(s) * factorial(c - s - 1) / factorial(c)
+                    phi[j] += weight * (value(sample, subset + (j,))
+                                        - value(sample, subset))
+        return phi
+
+    # 2^5 - 2 = 30 coalitions <= budget -> exact enumeration path
+    got = kernel_shap_values(f, x, bg, nsamples=64, seed=0)
+    for i in range(2):
+        np.testing.assert_allclose(got[i], brute_shapley(x[i]), atol=1e-8)
