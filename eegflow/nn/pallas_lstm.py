@@ -224,6 +224,7 @@ def pallas_bilstm_stack_apply(
 def _lstm_bwd_chunk_kernel(
     gates_ref, hprev_ref, cprev_ref, c_ref, g_ref, w_hh_ref,
     dgates_ref, dwhh_ref, dh_ref, dc_ref, *, t_chunk: int, hidden: int,
+    bf16: bool = False,
 ):
     """One reverse-time (batch_tile, time_chunk) grid step of LSTM backprop.
 
@@ -244,11 +245,12 @@ def _lstm_bwd_chunk_kernel(
 
     def step(s, _):
         i_t = t_chunk - 1 - s  # iterate the chunk in reverse time
-        h_prev = hprev_ref[:, i_t, :]
-        c_prev = cprev_ref[:, i_t, :]
-        c_t = c_ref[:, i_t, :]
-        z = gates_ref[:, i_t, :] + jnp.dot(
-            h_prev, w_hh_ref[:], preferred_element_type=jnp.float32
+        h_prev = hprev_ref[:, i_t, :].astype(jnp.float32)
+        c_prev = cprev_ref[:, i_t, :].astype(jnp.float32)
+        c_t = c_ref[:, i_t, :].astype(jnp.float32)
+        h_mm = h_prev.astype(jnp.bfloat16) if bf16 else h_prev
+        z = gates_ref[:, i_t, :].astype(jnp.float32) + jnp.dot(
+            h_mm, w_hh_ref[:], preferred_element_type=jnp.float32
         )
         gi = jax.nn.sigmoid(z[:, :hidden])
         gf = jax.nn.sigmoid(z[:, hidden : 2 * hidden])
@@ -256,7 +258,7 @@ def _lstm_bwd_chunk_kernel(
         go = jax.nn.sigmoid(z[:, 3 * hidden :])
         tc = jnp.tanh(c_t)
 
-        dh = g_ref[:, i_t, :] + dh_ref[:]
+        dh = g_ref[:, i_t, :].astype(jnp.float32) + dh_ref[:]
         do = dh * tc
         dc = dh * go * (1.0 - tc * tc) + dc_ref[:]
         di = dc * gg
@@ -270,16 +272,20 @@ def _lstm_bwd_chunk_kernel(
             axis=-1,
         )
         dgates_ref[:, i_t, :] = dz
-        dh_ref[:] = jnp.dot(dz, w_hh_ref[:].T, preferred_element_type=jnp.float32)
-        dwhh_ref[0, :, :] += jnp.dot(h_prev.T, dz,
-                                     preferred_element_type=jnp.float32)
+        dz_mm = dz.astype(jnp.bfloat16) if bf16 else dz
+        dh_ref[:] = jnp.dot(dz_mm, w_hh_ref[:].T,
+                            preferred_element_type=jnp.float32)
+        dwhh_ref[0, :, :] += jnp.dot(
+            (h_mm if bf16 else h_prev).T, dz_mm,
+            preferred_element_type=jnp.float32,
+        )
         return 0
 
     jax.lax.fori_loop(0, t_chunk, step, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret")
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "bf16")
 )
 def lstm_recurrence_backward(
     gates_all: jnp.ndarray,
@@ -290,13 +296,17 @@ def lstm_recurrence_backward(
     batch_tile: int = 64,
     t_chunk: int = 8,
     interpret: bool = False,
+    bf16: bool = False,
 ):
     """Backward through the recurrence: returns (dgates (B,T,4H), dw_hh (H,4H)).
 
     Gate pre-activations are recomputed from ``gates_all`` + the saved hidden
     sequence (cheaper than storing z). Time chunks are visited newest-first
     via a reversed index map; dW_hh accumulates per batch tile and is summed
-    across tiles at the end.
+    across tiles at the end. ``bf16`` runs the three per-step matmuls in
+    bfloat16 with f32 accumulation (W_hh bf16-resident; sequence blocks stay
+    f32 — Mosaic's 16-row bf16 sublane tiles preclude dynamic time indexing
+    into bf16 sequence blocks at t_chunk=8).
     """
     b, t, g4 = gates_all.shape
     hidden = g4 // 4
@@ -305,8 +315,10 @@ def lstm_recurrence_backward(
     n_chunks = t // t_chunk
 
     zeros_first = jnp.zeros((b, 1, hidden), jnp.float32)
-    h_prev_seq = jnp.concatenate([zeros_first, h_seq[:, :-1, :]], axis=1)
-    c_prev_seq = jnp.concatenate([zeros_first, c_seq[:, :-1, :]], axis=1)
+    h_prev_seq = jnp.concatenate(
+        [zeros_first, h_seq[:, :-1, :].astype(jnp.float32)], axis=1)
+    c_prev_seq = jnp.concatenate(
+        [zeros_first, c_seq[:, :-1, :].astype(jnp.float32)], axis=1)
 
     def rev(i, j):
         return (i, n_chunks - 1 - j, 0)
@@ -316,7 +328,7 @@ def lstm_recurrence_backward(
     )
 
     kernel = functools.partial(_lstm_bwd_chunk_kernel, t_chunk=t_chunk,
-                               hidden=hidden)
+                               hidden=hidden, bf16=bf16)
     dgates, dwhh_tiles = pl.pallas_call(
         kernel,
         grid=(n_btiles, n_chunks),
@@ -346,7 +358,7 @@ def lstm_recurrence_backward(
     )(
         gates_all.astype(jnp.float32), h_prev_seq, c_prev_seq,
         c_seq.astype(jnp.float32), g_out.astype(jnp.float32),
-        w_hh.astype(jnp.float32),
+        w_hh.astype(jnp.bfloat16 if bf16 else jnp.float32),
     )
     return dgates, jnp.sum(dwhh_tiles, axis=0)
 

@@ -96,3 +96,23 @@ def test_pallas_bf16_option_close_to_f32():
                                              t_chunk=8, interpret=True, bf16=True))
     assert np.max(np.abs(f32 - bf16)) < 0.05
     assert np.corrcoef(f32.ravel(), bf16.ravel())[0, 1] > 0.999
+
+
+def test_fused_backward_bf16_option_close_to_f32():
+    from eegflow.nn.pallas_lstm import _fused_pipeline_fwd, lstm_recurrence_backward
+
+    params = lstm_layer_init(jax.random.key(7), 8, 16)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((8, 16, 8)), jnp.float32)
+    gates, h_pad, c_pad, bt, tc, b_sz = _fused_pipeline_fwd(
+        params["w_ih"], params["w_hh"], params["b"], x, False)
+    g = jnp.ones((8, 16, 16), jnp.float32)
+    dg_f32, dw_f32 = lstm_recurrence_backward(
+        gates, h_pad, c_pad, params["w_hh"], g, batch_tile=8, t_chunk=8,
+        interpret=True)
+    dg_bf, dw_bf = lstm_recurrence_backward(
+        gates, h_pad, c_pad, params["w_hh"], g, batch_tile=8, t_chunk=8,
+        interpret=True, bf16=True)
+    assert np.corrcoef(np.asarray(dg_f32).ravel(),
+                       np.asarray(dg_bf).ravel())[0, 1] > 0.995
+    assert np.corrcoef(np.asarray(dw_f32).ravel(),
+                       np.asarray(dw_bf).ravel())[0, 1] > 0.995
