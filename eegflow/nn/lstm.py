@@ -136,8 +136,11 @@ def bilstm_stack_apply(
     if impl == "pallas":
         from eegflow.nn.pallas_lstm import lstm_layer_fused
 
+        use_bf16 = compute_dtype == jnp.bfloat16
+
         def run_dir(p, data, reverse):
-            return lstm_layer_fused(p["w_ih"], p["w_hh"], p["b"], data, reverse)
+            return lstm_layer_fused(p["w_ih"], p["w_hh"], p["b"], data, reverse,
+                                    use_bf16)
     else:
         def run_dir(p, data, reverse):
             return lstm_layer_apply(p, data, reverse=reverse,

@@ -372,9 +372,15 @@ _FUSED_BATCH_TILE = 128
 _FUSED_T_CHUNK = 8
 
 
-def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse):
+def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16=False):
     """Shared forward: gates einsum -> (flip) -> pad -> Pallas recurrence."""
-    gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
+    if bf16:
+        gates = jnp.einsum(
+            "btd,dg->btg", x.astype(jnp.bfloat16), w_ih.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) + b
+    else:
+        gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
     if reverse:
         gates = jnp.flip(gates, axis=1)
     b_sz, t, _ = gates.shape
@@ -386,34 +392,36 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse):
     tc = _pick_tile(t, _FUSED_T_CHUNK)
     h_pad, c_pad = lstm_recurrence_pallas(
         gates, w_hh, batch_tile=bt, t_chunk=tc,
-        interpret=_auto_interpret(None), collect_cell=True,
+        interpret=_auto_interpret(None), collect_cell=True, bf16=bf16,
     )
     return gates, h_pad, c_pad, bt, tc, b_sz
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False, bf16: bool = False):
     """LSTM layer with Pallas forward AND Pallas backward kernels.
 
     Gradients match the pure ``lax.scan`` layer (the adjoint recursion is
     exact, tested to 1e-4); both time directions of every training step run
-    the fused VMEM-resident recurrence.
+    the fused VMEM-resident recurrence. ``bf16`` applies the mixed-precision
+    policy (bf16 matmuls, f32 accumulation/state) in both kernels.
     """
-    _, h_pad, _, _, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse)
+    _, h_pad, _, _, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse,
+                                                  bf16)
     out = h_pad[:b_sz]
     return jnp.flip(out, axis=1) if reverse else out
 
 
-def _fused_fwd(w_ih, w_hh, b, x, reverse):
+def _fused_fwd(w_ih, w_hh, b, x, reverse, bf16):
     gates, h_pad, c_pad, bt, tc, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x,
-                                                            reverse)
+                                                            reverse, bf16)
     out = h_pad[:b_sz]
     if reverse:
         out = jnp.flip(out, axis=1)
     return out, (w_ih, w_hh, x, gates, h_pad, c_pad)
 
 
-def _fused_bwd(reverse, residuals, g):
+def _fused_bwd(reverse, bf16, residuals, g):
     w_ih, w_hh, x, gates, h_pad, c_pad = residuals
     b_sz = x.shape[0]
     pad_b = gates.shape[0] - b_sz
@@ -429,14 +437,22 @@ def _fused_bwd(reverse, residuals, g):
 
     dgates_pad, dw_hh = lstm_recurrence_backward(
         gates, h_pad, c_pad, w_hh, g_in, batch_tile=bt, t_chunk=tc,
-        interpret=_auto_interpret(None),
+        interpret=_auto_interpret(None), bf16=bf16,
     )
     dgates = dgates_pad[:b_sz]
     if reverse:
         dgates = jnp.flip(dgates, axis=1)  # back to input-time domain
 
-    dw_ih = jnp.einsum("btd,btg->dg", x, dgates)
-    dx = jnp.einsum("btg,dg->btd", dgates, w_ih)
+    if bf16:
+        dw_ih = jnp.einsum("btd,btg->dg", x.astype(jnp.bfloat16),
+                           dgates.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        dx = jnp.einsum("btg,dg->btd", dgates.astype(jnp.bfloat16),
+                        w_ih.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    else:
+        dw_ih = jnp.einsum("btd,btg->dg", x, dgates)
+        dx = jnp.einsum("btg,dg->btd", dgates, w_ih)
     db = jnp.sum(dgates, axis=(0, 1))
     return dw_ih, dw_hh, db, dx
 
