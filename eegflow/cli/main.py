@@ -534,6 +534,22 @@ def cmd_export(args):
         print(f"  wrote {name}: {ps}")
 
 
+def cmd_serve(args):
+    from eegflow.cli.serve import serve
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    model = _load_coupled_model(paths, cfg)
+    seq_len = cfg.preprocess.sequence_length
+    httpd = serve(model, host=args.host, port=args.port, warmup_seq_len=seq_len)
+    print(f"serving coupled LSTM-ODE model on http://{args.host}:{args.port} "
+          f"(POST /predict, GET /health)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
 def cmd_all(args):
     for fn in (cmd_explore, cmd_preprocess, cmd_baselines, cmd_train,
                cmd_fit_ode, cmd_integrate, cmd_explain, cmd_forecast,
@@ -587,6 +603,11 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--hidden", type=int, default=None)
     p.set_defaults(fn=cmd_ablate)
+
+    p = sub.add_parser("serve", help="serve the coupled model over HTTP")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8799)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("all", help="run the full pipeline")
     p.add_argument("--epochs", type=int, default=None)
