@@ -132,8 +132,10 @@ def _restore_lists(tree: Any) -> Any:
     restored params match the init-time pytree structure."""
     if isinstance(tree, dict):
         restored = {k: _restore_lists(v) for k, v in tree.items()}
-        keys = list(restored.keys())
-        if keys and all(isinstance(k, str) and k.isdigit() for k in keys):
+        keys = set(restored.keys())
+        # only convert when the keys are exactly {"0"..."n-1"} — a user dict
+        # that merely happens to have digit keys (or sparse ones) stays a dict
+        if keys and keys == {str(i) for i in range(len(keys))}:
             return [restored[str(i)] for i in range(len(keys))]
         return restored
     return tree

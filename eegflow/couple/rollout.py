@@ -91,16 +91,23 @@ def predict_batch(
     forecast_steps: Optional[int] = None,
     batch_size: int = 2048,
 ) -> Dict[str, np.ndarray]:
-    """Host wrapper: pads to static batch shapes, concatenates results."""
+    """Host wrapper: pads to static batch buckets, concatenates results.
+
+    Every chunk is padded up to a power-of-two bucket (capped at
+    ``batch_size``) so novel request sizes reuse a small set of warmed
+    compiles instead of triggering a fresh jit per distinct shape — critical
+    for the HTTP server, where multi-second recompiles would stall requests.
+    """
     steps = forecast_steps or model.coupling.forecast_steps
     n = len(x)
     out: Dict[str, list] = {}
     for i in range(0, n, batch_size):
         xb = x[i : i + batch_size]
         k = len(xb)
-        if k < batch_size and n > batch_size:
+        bucket = min(batch_size, max(8, 1 << (k - 1).bit_length()))
+        if k < bucket:
             xb = np.concatenate(
-                [xb, np.zeros((batch_size - k,) + xb.shape[1:], xb.dtype)]
+                [xb, np.zeros((bucket - k,) + xb.shape[1:], xb.dtype)]
             )
         res = coupled_rollout(
             model.params, jnp.asarray(xb), model.k_base, model.model_cfg,

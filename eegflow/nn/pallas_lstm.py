@@ -427,8 +427,10 @@ def _fused_bwd(reverse, bf16, residuals, g):
     pad_b = gates.shape[0] - b_sz
     # TPU tiling: the block's sublane dim (t_chunk) must divide by 8, so the
     # backward uses t_chunk=8 with a smaller batch tile to stay in VMEM.
+    # always pick a tile that divides the padded batch (the forward pads to
+    # its OWN tile, e.g. B=96 stays 96, which 64 does not divide)
     bwd_bt = 64
-    bt = _pick_tile(gates.shape[0], bwd_bt) if gates.shape[0] < bwd_bt else bwd_bt
+    bt = _pick_tile(gates.shape[0], bwd_bt)
     tc = _pick_tile(gates.shape[1], _FUSED_T_CHUNK)
 
     g_in = jnp.flip(g, axis=1) if reverse else g  # into the flipped-time domain

@@ -96,7 +96,7 @@ def train_classifier(
         from flax import serialization
         from pathlib import Path
 
-        _, _, resume_history, extra = load_checkpoint(resume_from)
+        ckpt_best_params, _, resume_history, extra = load_checkpoint(resume_from)
         snap = Path(resume_from) / "train_state.msgpack"
         if snap.exists():
             restored = serialization.from_bytes(
@@ -106,12 +106,12 @@ def train_classifier(
             state = TrainState(params, opt_state,
                                jnp.asarray(int(extra.get("step", 0))))
             start_epoch = int(extra.get("epoch", 0))
-            resume_payload = (resume_history, extra)
+            resume_payload = (resume_history, extra, ckpt_best_params)
 
     cw = class_weight_array(y_train, model_cfg.num_classes)
     step = make_train_step(model_cfg, train_cfg, tx, class_weights=cw, mesh=mesh)
     eval_step = make_eval_step(model_cfg, bf16=train_cfg.bf16,
-                               class_weights=jnp.asarray(cw))
+                               lstm_impl=train_cfg.lstm_impl)
 
     if mesh is not None:
         state = replicate_to_mesh(state, mesh)
@@ -132,10 +132,13 @@ def train_classifier(
     step_time = 0.0
 
     if resume_payload is not None:
-        resume_history, extra = resume_payload
+        resume_history, extra, ckpt_best_params = resume_payload
         for k in history:
             history[k] = list(resume_history.get(k, []))[:start_epoch]
         best_f1 = float(extra.get("best_val_f1", 0.0))
+        # the checkpoint stores the BEST params so far — restore them as the
+        # early-stopping baseline (the train state holds the *current* params)
+        best_params = jax.tree_util.tree_map(np.asarray, ckpt_best_params)
         epochs_run = start_epoch
 
     for epoch in range(start_epoch, train_cfg.epochs):

@@ -100,7 +100,6 @@ def make_train_step(
 def make_eval_step(
     model_cfg: ModelConfig,
     bf16: bool = True,
-    class_weights: Optional[jnp.ndarray] = None,
     return_attention: bool = False,
     lstm_impl: str = "scan",
 ) -> Callable:

@@ -184,3 +184,17 @@ def test_metrics_registry():
     import pytest as _pytest
     with _pytest.raises(KeyError):
         get_metric("nope")
+
+
+def test_restore_lists_only_converts_exact_ranges():
+    from eegflow.core.artifacts import _restore_lists
+
+    # exact {"0".."n-1"} -> list
+    assert _restore_lists({"0": 1, "1": 2, "2": 3}) == [1, 2, 3]
+    # sparse digit keys stay a dict (used to raise KeyError)
+    assert _restore_lists({"0": 1, "2": 3}) == {"0": 1, "2": 3}
+    # non-zero-based digit keys stay a dict (used to be silently converted)
+    assert _restore_lists({"1": "a", "2": "b"}) == {"1": "a", "2": "b"}
+    # nested inside history-like payloads
+    out = _restore_lists({"hist": {"0": 1.0, "1": 2.0}, "epochs": {"3": "x"}})
+    assert out == {"hist": [1.0, 2.0], "epochs": {"3": "x"}}

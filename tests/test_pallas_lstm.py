@@ -116,3 +116,25 @@ def test_fused_backward_bf16_option_close_to_f32():
                        np.asarray(dg_bf).ravel())[0, 1] > 0.995
     assert np.corrcoef(np.asarray(dw_f32).ravel(),
                        np.asarray(dw_bf).ravel())[0, 1] > 0.995
+
+
+def test_fused_layer_grad_batch_96():
+    """Regression: B in (64, 128) used to hit a non-dividing backward tile
+    (forward pads to B itself, backward hard-coded 64)."""
+    from eegflow.nn.pallas_lstm import lstm_layer_fused
+
+    params = lstm_layer_init(jax.random.key(8), 4, 8)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((96, 8, 4)),
+                    jnp.float32)
+
+    def loss_fused(p, x):
+        return jnp.sum(lstm_layer_fused(p["w_ih"], p["w_hh"], p["b"], x, False) ** 2)
+
+    def loss_scan(p, x):
+        return jnp.sum(lstm_layer_apply(p, x) ** 2)
+
+    g_fused = jax.grad(loss_fused)(params, x)
+    g_scan = jax.grad(loss_scan)(params, x)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_fused[k]), np.asarray(g_scan[k]),
+                                   atol=1e-4, rtol=1e-4)

@@ -209,3 +209,37 @@ def test_training_fully_deterministic(rng):
     for a, b in zip(jax.tree_util.tree_leaves(r1.params),
                     jax.tree_util.tree_leaves(r2.params)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_resume_restores_best_params_when_no_later_improvement(tmp_path, rng):
+    """Regression: resume used to discard the checkpointed best params, so a
+    resumed run with no later improvement returned non-best params."""
+    import dataclasses
+
+    from eegflow.core.artifacts import load_checkpoint
+    from eegflow.core.config import TrainConfig
+    from eegflow.train import train_classifier
+
+    cfg_m = ModelConfig(input_size=3, hidden_size=8, num_layers=1, dropout=0.0)
+    base = TrainConfig(epochs=4, batch_size=16, eval_batch_size=32,
+                       accumulation_steps=1, warmup_epochs=1, patience=10,
+                       bf16=False, augment=False)
+    x = rng.standard_normal((96, 16, 3)).astype(np.float32)
+    y = (x[:, :, 0].mean(1) > 0).astype(np.int64)
+    args = (x[:48], y[:48], x[48:], y[48:], cfg_m)
+
+    half_cfg = dataclasses.replace(base, epochs=2)
+    train_classifier(*args, half_cfg, verbose=False,
+                     checkpoint_dir=tmp_path / "snap", checkpoint_every=2)
+    ckpt_params, *_ = load_checkpoint(tmp_path / "snap")
+
+    # resume with a frozen LR: no epoch can beat the checkpointed best F1,
+    # so the returned params must be exactly the checkpointed best params
+    frozen = dataclasses.replace(base, learning_rate=0.0)
+    resumed = train_classifier(*args, frozen, verbose=False,
+                               resume_from=tmp_path / "snap")
+    flat_c = jax.tree_util.tree_leaves(ckpt_params)
+    flat_r = jax.tree_util.tree_leaves(resumed.params)
+    assert len(flat_c) == len(flat_r)
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,59 @@
+"""Profile the flagship train step per-impl on the current backend.
+
+Usage: python tools/profile_train.py [scan|pallas ...] [--batch N] [--steps N]
+Prints per-impl device ms/step, windows/s, MFU, and top ops.
+"""
+import argparse, sys, time
+import numpy as np
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("impls", nargs="*", default=None)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+    impls = args.impls or ["scan", "pallas"]
+
+    import dataclasses
+    import jax, jax.numpy as jnp
+    from eegflow.core.config import ModelConfig, TrainConfig
+    from eegflow.core.profiling import device_time, TPU_V5E_BF16_PEAK_FLOPS
+    from eegflow.nn.model import classifier_init, model_flops_per_window
+    from eegflow.train.steps import TrainState, make_optimizer, make_train_step
+
+    model_cfg = ModelConfig(input_size=61)
+    base_cfg = TrainConfig(batch_size=args.batch, accumulation_steps=4, bf16=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((args.batch, 256, model_cfg.input_size)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, args.batch))
+    flops_step = 3 * model_flops_per_window(model_cfg) * args.batch
+
+    for impl in impls:
+        cfg = dataclasses.replace(base_cfg, lstm_impl=impl)
+        params = classifier_init(jax.random.key(0), model_cfg)
+        tx = make_optimizer(cfg, updates_per_epoch=100)
+        state = [TrainState(params, tx.init(params), jnp.asarray(0))]
+        step = make_train_step(model_cfg, cfg, tx, donate=True)
+        i = [0]
+        def run():
+            i[0] += 1
+            s, m = step(state[0], x, y, jax.random.key(i[0]))
+            state[0] = s
+            jax.block_until_ready(m["loss"])
+        t0 = time.time()
+        run()
+        print(f"[{impl}] compiled+first step in {time.time()-t0:.1f}s", flush=True)
+        dt = device_time(run, iters=args.steps, warmup=2)
+        if dt is None:
+            print(f"[{impl}] NO TRACE PARSED", flush=True); continue
+        step_s = dt.total_self_time_s / args.steps
+        mfu = flops_step / step_s / TPU_V5E_BF16_PEAK_FLOPS
+        print(f"[{impl}] device {step_s*1e3:.2f} ms/step | "
+              f"{args.batch/step_s:,.0f} windows/s | MFU {mfu*100:.1f}%", flush=True)
+        for cat, t in sorted(dt.by_category.items(), key=lambda kv: -kv[1])[:8]:
+            print(f"    cat {cat:<28} {t/args.steps*1e3:8.3f} ms/step", flush=True)
+        for op, t in dt.top_ops(12):
+            print(f"    op  {op[:60]:<60} {t/args.steps*1e3:8.3f} ms/step", flush=True)
+
+if __name__ == "__main__":
+    main()
