@@ -165,6 +165,20 @@ def cmd_preprocess(args):
         {s: arrays[f"y_{s}"] for s in ("train", "val", "test")},
         paths["figures"] / "fig01_class_distribution",
     )
+    if loaded["train"]:  # stage overview on the first training recording
+        from eegflow.signal.filters import bandpass_filter
+        from eegflow.signal.preprocess import normalize
+        from eegflow.viz import plot_preprocessing_overview
+
+        raw = np.asarray(loaded["train"][0][1])
+        filt = np.asarray(bandpass_filter(
+            raw, cfg.preprocess.lowcut, cfg.preprocess.highcut,
+            cfg.preprocess.sampling_rate, cfg.preprocess.filter_order,
+            method=cfg.preprocess.filter_method))
+        norm, _, _ = normalize(filt)
+        plot_preprocessing_overview(
+            raw, filt, norm, cfg.preprocess.sampling_rate,
+            paths["figures"] / "fig04_preprocessing")
     for s in ("train", "val", "test"):
         print(f"  {s}: {arrays[f'X_{s}'].shape}")
     print(f"saved {npz}")
@@ -303,6 +317,10 @@ def cmd_fit_ode(args):
     plot_ode_analysis(np.asarray(k), paths["figures"] / "fig10_ode_analysis",
                       analysis["sensitivity"])
     plot_state_diagram(rates, paths["figures"] / "fig11_state_diagram")
+    from eegflow.viz import plot_sensitivity_heatmap
+
+    plot_sensitivity_heatmap(analysis["sensitivity"]["sensitivities"],
+                             paths["figures"] / "fig12_sensitivity_heatmap")
 
 
 def _load_coupled_model(paths, cfg):
@@ -371,7 +389,10 @@ def cmd_explain(args):
         compare_importance_methods, gradient_channel_importance,
         kernel_shap_channel_importance, permutation_channel_importance,
     )
-    from eegflow.viz import plot_channel_importance, plot_importance_comparison
+    from eegflow.viz import (
+        plot_channel_importance, plot_importance_comparison,
+        plot_shap_analysis,
+    )
 
     cfg = _load_config(args)
     paths = _paths(args)
@@ -390,7 +411,13 @@ def cmd_explain(args):
             params, model_cfg, x_test, channel_names=channel_names,
         )
         np.save(paths["results"] / "shap_values.npy", shap_res["shap_values"])
-        methods.append({k: v for k, v in shap_res.items() if k != "shap_values"})
+        plot_shap_analysis(
+            shap_res["shap_values"], shap_res["x_explain"],
+            shap_res["channels"], paths["figures"] / "fig21_shap_analysis",
+            gradient_importance=np.asarray(grad["importance"]),
+        )
+        methods.append({k: v for k, v in shap_res.items()
+                        if k not in ("shap_values", "x_explain")})
 
     comparison = compare_importance_methods(methods)
 
@@ -400,11 +427,21 @@ def cmd_explain(args):
         attention = np.load(attn_path)
         if len(attention) == len(y_test):
             attention_analysis = analyze_attention_patterns(attention, y_test)
+            from eegflow.viz import plot_attention_explainability
+
+            plot_attention_explainability(
+                attention, y_test,
+                paths["figures"] / "fig18_attention_explainability")
 
     ode_analysis = None
     ode_path = paths["results"] / "ode_results.json"
     if ode_path.exists():
-        ode_analysis = analyze_ode_dynamics(load_results(ode_path)["fitted_params"])
+        fitted = load_results(ode_path)["fitted_params"]
+        ode_analysis = analyze_ode_dynamics(fitted)
+        from eegflow.viz import plot_ode_explainability
+
+        plot_ode_explainability(fitted,
+                                paths["figures"] / "fig20_ode_explainability")
 
     summary = {
         "gradient": {k: v for k, v in grad.items()},

@@ -185,6 +185,7 @@ def kernel_shap_channel_importance(
         "channels": names,
         "importance": importance.tolist(),
         "shap_values": values,
+        "x_explain": explain,  # the time-collapsed rows the values explain
         "ranking": [names[i] for i in order],
         "method": "kernel_shap",
     }

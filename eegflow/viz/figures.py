@@ -401,3 +401,311 @@ def plot_ablation_results(
     ax.set_title("Architecture ablation")
     plt.setp(ax.get_xticklabels(), rotation=20, ha="right")
     return save_figure(fig, path_base)
+
+
+def plot_shap_analysis(
+    shap_values: np.ndarray,
+    x_explain: np.ndarray,
+    channel_names: Sequence[str],
+    path_base,
+    gradient_importance: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> List[str]:
+    """Six-panel SHAP battery (ref 07_explainability.py:511-678).
+
+    ``shap_values``/``x_explain``: (N, C) class-1 SHAP values and the
+    time-collapsed features they explain. Panels: top-15 |SHAP| bars colored
+    by region, beeswarm-style distribution, regional aggregation, per-sample
+    heatmap, dependence plot for the top channel (colored by its strongest
+    interactor), and — instead of the reference's placeholder sixth panel —
+    the SHAP-vs-gradient scatter when gradient importances are given.
+    """
+    from eegflow.viz.regions import CHANNEL_REGIONS, aggregate_by_region
+
+    shap_values = np.asarray(shap_values, np.float64)
+    x_explain = np.asarray(x_explain, np.float64)
+    channel_names = [str(c) for c in channel_names]
+    mean_abs = np.abs(shap_values).mean(axis=0)
+    order = np.argsort(-mean_abs)
+
+    region_color = {"Occipital": "#e74c3c", "Parietooccipital": "#e74c3c",
+                    "Frontal": "#3498db", "Prefrontal": "#3498db",
+                    "Temporal": "#2ecc71"}
+
+    fig, axes = plt.subplots(2, 3, figsize=(18, 11))
+
+    # 1. top-15 |SHAP| bars, region-colored (ref 07:524-548)
+    ax = axes[0, 0]
+    top15 = order[:15]
+    from eegflow.viz.regions import region_of
+
+    colors = [region_color.get(region_of(channel_names[i]), "#9b59b6")
+              for i in top15]
+    ax.barh(range(len(top15)), mean_abs[top15], color=colors, edgecolor="black")
+    ax.set_yticks(range(len(top15)), [channel_names[i] for i in top15])
+    ax.set_xlabel("Mean |SHAP value|")
+    ax.set_title("SHAP feature importance (top 15)")
+    ax.invert_yaxis()
+
+    # 2. beeswarm-style distribution, top 10 (ref 07:550-580)
+    ax = axes[0, 1]
+    rng_j = np.random.default_rng(seed)
+    sc = None
+    for row, i in enumerate(order[:10][::-1]):
+        feat = x_explain[:, i]
+        span = feat.max() - feat.min()
+        norm = (feat - feat.min()) / (span + 1e-10)
+        jitter = row + rng_j.uniform(-0.2, 0.2, len(shap_values))
+        sc = ax.scatter(shap_values[:, i], jitter, c=norm, cmap="RdBu_r",
+                        s=10, alpha=0.6)
+    ax.set_yticks(range(10), [channel_names[i] for i in order[:10][::-1]])
+    ax.axvline(0.0, color="gray", linestyle="--", linewidth=1)
+    ax.set_xlabel("SHAP value")
+    ax.set_title("SHAP value distribution (top 10)")
+    if sc is not None:
+        fig.colorbar(sc, ax=ax, label="Feature value")
+
+    # 3. regional aggregation (ref 07:582-608)
+    ax = axes[0, 2]
+    by_region = aggregate_by_region(channel_names, mean_abs)
+    regions = sorted(by_region, key=lambda r: -by_region[r])
+    vals = [by_region[r] for r in regions]
+    shades = plt.cm.YlOrRd([v / (max(vals) + 1e-12) for v in vals])
+    ax.barh(regions, vals, color=shades, edgecolor="black")
+    ax.set_xlabel("Aggregated |SHAP|")
+    ax.set_title("SHAP importance by brain region")
+    ax.invert_yaxis()
+
+    # 4. per-sample heatmap, top 20 channels (ref 07:610-629)
+    ax = axes[1, 0]
+    n_show = min(50, len(shap_values))
+    top20 = order[:20]
+    hm = shap_values[:n_show][:, top20]
+    lim = np.percentile(np.abs(hm), 95) + 1e-12
+    im = ax.imshow(hm.T, aspect="auto", cmap="RdBu_r", vmin=-lim, vmax=lim)
+    ax.set_xlabel("Sample index")
+    ax.set_yticks(range(len(top20)), [channel_names[i] for i in top20],
+                  fontsize=7)
+    ax.set_title("SHAP values heatmap (top 20 channels)")
+    fig.colorbar(im, ax=ax, label="SHAP value")
+
+    # 5. dependence plot for the top channel (ref 07:631-655)
+    ax = axes[1, 1]
+    top_i = int(order[0])
+    shap_top = shap_values[:, top_i]
+    corr_best, inter_i = -1.0, (top_i + 1) % len(channel_names)
+    for i in range(len(channel_names)):
+        if i == top_i:
+            continue
+        f = x_explain[:, i]
+        if np.std(f) < 1e-12 or np.std(shap_top) < 1e-12:
+            continue
+        c = abs(np.corrcoef(shap_top, f)[0, 1])
+        if np.isfinite(c) and c > corr_best:
+            corr_best, inter_i = c, i
+    sc = ax.scatter(x_explain[:, top_i], shap_top, c=x_explain[:, inter_i],
+                    cmap="coolwarm", s=20, alpha=0.7, edgecolors="k",
+                    linewidth=0.3)
+    ax.axhline(0.0, color="gray", linestyle="--", linewidth=1)
+    ax.set_xlabel(f"{channel_names[top_i]} value")
+    ax.set_ylabel(f"SHAP value for {channel_names[top_i]}")
+    ax.set_title(f"SHAP dependence: {channel_names[top_i]}")
+    fig.colorbar(sc, ax=ax, label=f"{channel_names[inter_i]} value")
+
+    # 6. SHAP vs gradient scatter (the reference leaves this panel as a
+    # placeholder, ref 07:657-663; filled in here when gradients exist)
+    ax = axes[1, 2]
+    if gradient_importance is not None and len(gradient_importance) == len(mean_abs):
+        g = np.asarray(gradient_importance, np.float64)
+        ax.scatter(g / (g.sum() + 1e-12), mean_abs / (mean_abs.sum() + 1e-12),
+                   s=25, alpha=0.7, edgecolors="k", linewidth=0.3)
+        r = np.corrcoef(g, mean_abs)[0, 1] if np.std(g) > 0 else np.nan
+        ax.set_xlabel("Gradient importance (normalized)")
+        ax.set_ylabel("SHAP importance (normalized)")
+        ax.set_title(f"SHAP vs gradient (Pearson r={r:.3f})")
+    else:
+        ax.text(0.5, 0.5, "SHAP vs gradient\n(gradient scores unavailable)",
+                ha="center", va="center", transform=ax.transAxes)
+        ax.axis("off")
+
+    fig.suptitle("SHAP channel attribution", fontweight="bold")
+    fig.tight_layout()
+    return save_figure(fig, path_base)
+
+
+def plot_attention_explainability(
+    attention: np.ndarray, y: np.ndarray, path_base,
+) -> List[str]:
+    """Six-panel deep attention analysis (ref 07_explainability.py:892-987):
+    mean±CI, per-class curves, closed-open difference bars, peak-sorted
+    heatmap, peak-position histogram, early-vs-late scatter."""
+    attention = np.asarray(attention, np.float64)
+    y = np.asarray(y)
+    t = np.arange(attention.shape[1])
+    mean_a = attention.mean(axis=0)
+    std_a = attention.std(axis=0)
+
+    fig, axes = plt.subplots(2, 3, figsize=(16, 9))
+
+    ax = axes[0, 0]
+    ax.plot(t, mean_a, color="#1f77b4", linewidth=2, label="Mean attention")
+    ax.fill_between(t, mean_a - 1.96 * std_a, mean_a + 1.96 * std_a,
+                    alpha=0.3, color="#1f77b4", label="95% CI")
+    ax.axhline(1.0 / len(t), color="red", linestyle="--", label="Uniform")
+    ax.set_xlabel("Time step")
+    ax.set_ylabel("Attention weight")
+    ax.set_title("Temporal attention pattern")
+    ax.legend(fontsize=8)
+
+    ax = axes[0, 1]
+    for cls, (name, color) in enumerate((("Open", "#3498db"), ("Closed", "#e74c3c"))):
+        mask = y == cls
+        if mask.any():
+            ax.plot(t, attention[mask].mean(axis=0), color=color,
+                    linewidth=2, label=name)
+    ax.set_xlabel("Time step")
+    ax.set_ylabel("Attention weight")
+    ax.set_title("Attention by eye state")
+    ax.legend(fontsize=8)
+
+    ax = axes[0, 2]
+    if (y == 0).any() and (y == 1).any():
+        diff = attention[y == 1].mean(axis=0) - attention[y == 0].mean(axis=0)
+        ax.bar(t, diff, color=["#e74c3c" if d > 0 else "#3498db" for d in diff],
+               alpha=0.7)
+    ax.axhline(0.0, color="black", linewidth=1)
+    ax.set_xlabel("Time step")
+    ax.set_ylabel("Attention difference")
+    ax.set_title("Closed − open attention")
+
+    ax = axes[1, 0]
+    peaks = attention.argmax(axis=1)
+    order = np.argsort(peaks)[:100]
+    im = ax.imshow(attention[order], aspect="auto", cmap="viridis")
+    ax.set_xlabel("Time step")
+    ax.set_ylabel("Sample (sorted by peak)")
+    ax.set_title("Attention heatmap (peak-sorted)")
+    fig.colorbar(im, ax=ax, label="Weight")
+
+    ax = axes[1, 1]
+    ax.hist(peaks, bins=20, color="steelblue", edgecolor="black", alpha=0.7)
+    ax.axvline(peaks.mean(), color="red", linestyle="--", linewidth=2,
+               label=f"Mean: {peaks.mean():.1f}")
+    ax.set_xlabel("Peak position (time step)")
+    ax.set_ylabel("Frequency")
+    ax.set_title("Attention peak distribution")
+    ax.legend(fontsize=8)
+
+    ax = axes[1, 2]
+    third = attention.shape[1] // 3
+    early = attention[:, :third].mean(axis=1)
+    late = attention[:, -third:].mean(axis=1)
+    ax.scatter(early, late, c=y, cmap="RdYlBu", alpha=0.6, edgecolors="black")
+    lim = max(early.max(), late.max()) * 1.05
+    ax.plot([0, lim], [0, lim], "k--", label="y=x")
+    ax.set_xlabel("Early attention (first 1/3)")
+    ax.set_ylabel("Late attention (last 1/3)")
+    ax.set_title("Early vs late attention")
+    ax.legend(fontsize=8)
+
+    fig.suptitle("Attention explainability", fontweight="bold")
+    fig.tight_layout()
+    return save_figure(fig, path_base)
+
+
+def plot_ode_explainability(rates: Dict[str, float], path_base) -> List[str]:
+    """Four-panel ODE dynamics explainability (ref 07_explainability.py:990-1099):
+    transition-rate bars, time constants, state-transition network with
+    rate-weighted arrows, recovery-vs-fatigue balance."""
+    k = {n: float(rates[n]) for n in
+         ("k_ap", "k_af", "k_pa", "k_pf", "k_fa", "k_fp")}
+    transitions = ["A→P", "A→F", "P→A", "P→F", "F→A", "F→P"]
+    vals = [k["k_ap"], k["k_af"], k["k_pa"], k["k_pf"], k["k_fa"], k["k_fp"]]
+    colors = ["#e74c3c", "#c0392b", "#2ecc71", "#e74c3c", "#27ae60", "#3498db"]
+
+    fig, axes = plt.subplots(2, 2, figsize=(13, 11))
+
+    ax = axes[0, 0]
+    bars = ax.bar(transitions, vals, color=colors, edgecolor="black")
+    for bar, v in zip(bars, vals):
+        ax.text(bar.get_x() + bar.get_width() / 2, bar.get_height() + 0.01,
+                f"{v:.4f}", ha="center", fontsize=8)
+    ax.set_ylabel("Transition rate")
+    ax.set_title("ODE transition rates")
+
+    ax = axes[0, 1]
+    taus = [1.0 / v if v > 0 else 100.0 for v in vals]
+    ax.bar(transitions, taus, color=colors, edgecolor="black")
+    ax.set_ylabel("Time constant (1/rate)")
+    ax.set_title("Transition time constants")
+
+    # state network with rate-weighted arrows
+    ax = axes[1, 0]
+    pos = {"Active": np.array([0.5, 0.8]), "Passive": np.array([0.2, 0.3]),
+           "Fatigued": np.array([0.8, 0.3])}
+    node_color = {"Active": STATE_COLORS["Active"],
+                  "Passive": STATE_COLORS["Passive"],
+                  "Fatigued": STATE_COLORS["Fatigued"]}
+    for name, p in pos.items():
+        ax.add_patch(plt.Circle(p, 0.12, color=node_color[name],
+                                ec="black", linewidth=2, zorder=5))
+        ax.text(*p, name, ha="center", va="center", fontsize=9,
+                fontweight="bold", color="white", zorder=10)
+    edges = [("Active", "Passive", k["k_ap"], +1),
+             ("Active", "Fatigued", k["k_af"], +1),
+             ("Passive", "Active", k["k_pa"], -1),
+             ("Passive", "Fatigued", k["k_pf"], +1),
+             ("Fatigued", "Active", k["k_fa"], -1),
+             ("Fatigued", "Passive", k["k_fp"], -1)]
+    for a, b, rate, side in edges:
+        d = pos[b] - pos[a]
+        d = d / np.linalg.norm(d)
+        perp = np.array([-d[1], d[0]]) * 0.03 * side
+        ax.annotate("", xy=pos[b] - d * 0.14 + perp,
+                    xytext=pos[a] + d * 0.14 + perp,
+                    arrowprops=dict(arrowstyle="->", color="gray",
+                                    lw=1 + rate * 5, mutation_scale=15))
+    ax.set_xlim(-0.05, 1.05)
+    ax.set_ylim(0, 1.05)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    ax.set_title("State transition network")
+
+    ax = axes[1, 1]
+    recovery = k["k_fa"] + k["k_fp"] + k["k_pa"]
+    fatigue = k["k_af"] + k["k_pf"]
+    ax.bar(["Recovery\n(F→A, F→P, P→A)", "Fatigue\n(A→F, P→F)"],
+           [recovery, fatigue], color=["#2ecc71", "#e74c3c"],
+           edgecolor="black")
+    balance = recovery / fatigue if fatigue > 0 else float("inf")
+    ax.text(0.5, 0.95, f"Balance ratio: {balance:.2f}", ha="center",
+            fontsize=11, fontweight="bold", transform=ax.transAxes)
+    ax.set_ylabel("Aggregate rate")
+    ax.set_title("Recovery vs fatigue dynamics")
+
+    fig.suptitle("ODE explainability", fontweight="bold")
+    fig.tight_layout()
+    return save_figure(fig, path_base)
+
+
+def plot_sensitivity_heatmap(sensitivity: Dict[str, Dict[str, float]],
+                             path_base) -> List[str]:
+    """Annotated rate×state steady-state sensitivity heatmap
+    (ref 05_ode_model.py:687-750). ``sensitivity``: {rate: {state: dS/dk}}."""
+    rate_names = list(sensitivity)
+    mat = np.array([[float(sensitivity[r].get(s, 0.0)) for s in STATE_NAMES]
+                    for r in rate_names])
+    fig, ax = plt.subplots(figsize=(9, 5.5))
+    im = ax.imshow(mat, cmap="RdBu_r", aspect="auto", vmin=-1, vmax=1)
+    ax.set_xticks(range(3), STATE_NAMES)
+    ax.set_yticks(range(len(rate_names)),
+                  [f"$k_{{{n[2:]}}}$" for n in rate_names])
+    for i in range(len(rate_names)):
+        for j in range(3):
+            ax.text(j, i, f"{mat[i, j]:.3f}", ha="center", va="center",
+                    fontsize=9)
+    ax.set_title("Parameter sensitivity of the steady state\n"
+                 "(Δ steady state per unit parameter change)")
+    fig.colorbar(im, ax=ax, label="Sensitivity")
+    fig.tight_layout()
+    return save_figure(fig, path_base)

@@ -67,6 +67,7 @@ def test_stage_preprocess(pipeline_dirs):
     assert set(np.concatenate([npz["y_train"], npz["y_test"]])) == {0, 1}
     meta = json.loads((out / "processed_data" / "preprocessing_metadata.json").read_text())
     assert meta["filter"]["lowcut"] == 1.0
+    assert (out / "figures" / "fig04_preprocessing.png").exists()
     assert len(meta["channel_names"]) == 8
     # subject-wise split: no subject overlap
     splits = meta["splits"]
@@ -110,6 +111,7 @@ def test_stage_fit_ode(pipeline_dirs):
     assert res["stability"]["is_stable"]
     assert abs(sum(res["steady_state"]) - 1) < 1e-4
     assert (out / "figures" / "fig11_state_diagram.png").exists()
+    assert (out / "figures" / "fig12_sensitivity_heatmap.png").exists()
 
 
 def test_stage_integrate(pipeline_dirs):
@@ -132,6 +134,8 @@ def test_stage_explain(pipeline_dirs):
     assert res["ode"]["balance"] > 0
     assert len(res["top_channels"]) == 8
     assert (out / "figures" / "fig19_importance_comparison.png").exists()
+    assert (out / "figures" / "fig18_attention_explainability.png").exists()
+    assert (out / "figures" / "fig20_ode_explainability.png").exists()
 
 
 def test_stage_forecast(pipeline_dirs):

@@ -1,5 +1,7 @@
 """Figure-battery smoke tests: every plot function renders PNG+PDF files."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -111,3 +113,53 @@ def test_all_figures_render(tmp_path, rng):
            "lstm": {"accuracy": 0.7, "f1": 0.68, "auc": 0.72, "mcc": 0.4,
                     "accuracy_ci_95": [0.65, 0.75]}}
     _check(plot_comprehensive_comparison(zoo, tmp_path / "f15"))
+
+
+def test_shap_analysis_figure(tmp_path, rng):
+    from eegflow.viz import plot_shap_analysis
+
+    n, c = 40, 12
+    names = [f"Ch{i}" for i in range(c - 3)] + ["O1", "Oz", "Fp1"]
+    shap_vals = rng.standard_normal((n, c)) * 0.05
+    x_explain = rng.standard_normal((n, c))
+    grad = np.abs(rng.standard_normal(c))
+    paths = plot_shap_analysis(shap_vals, x_explain, names,
+                               tmp_path / "fig21_shap", gradient_importance=grad)
+    assert all(Path(p).exists() for p in paths)
+
+
+def test_attention_explainability_figure(tmp_path, rng):
+    from eegflow.viz import plot_attention_explainability
+
+    attn = rng.dirichlet(np.ones(32), size=60)
+    y = rng.integers(0, 2, 60)
+    paths = plot_attention_explainability(attn, y, tmp_path / "fig18_attn")
+    assert all(Path(p).exists() for p in paths)
+
+
+def test_ode_explainability_figure(tmp_path):
+    from eegflow.ode.field import DEFAULT_RATES
+    from eegflow.viz import plot_ode_explainability
+
+    paths = plot_ode_explainability(DEFAULT_RATES, tmp_path / "fig20_ode")
+    assert all(Path(p).exists() for p in paths)
+
+
+def test_sensitivity_heatmap_figure(tmp_path):
+    from eegflow.viz import plot_sensitivity_heatmap
+
+    sens = {f"k_{a}{b}": {"Active": 0.1, "Passive": -0.2, "Fatigued": 0.1}
+            for a, b in ("ap", "af", "pa", "pf", "fa", "fp")}
+    paths = plot_sensitivity_heatmap(sens, tmp_path / "fig12_sens")
+    assert all(Path(p).exists() for p in paths)
+
+
+def test_region_aggregation():
+    from eegflow.viz import CHANNEL_REGIONS, aggregate_by_region, region_of
+
+    assert region_of("O1") == "Occipital"
+    assert region_of("Fp1") == "Prefrontal"
+    assert region_of("XX") == "Other"
+    agg = aggregate_by_region(["O1", "Oz", "Fp1", "XX"], [1.0, 2.0, 3.0, 4.0])
+    assert agg["Occipital"] == 3.0 and agg["Prefrontal"] == 3.0 and agg["Other"] == 4.0
+    assert sum(len(v) for v in CHANNEL_REGIONS.values()) == 61
