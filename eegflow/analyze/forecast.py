@@ -53,11 +53,14 @@ def multistep_forecast(
     k: np.ndarray,
     horizons: Sequence[int] = (5, 10, 20),
     dt: float = 1.0,
+    mesh=None,
 ) -> Dict[int, Dict[str, np.ndarray]]:
     """For each start index i: ODE rollout from prob_to_ode_state(probs[i])
     with fixed (unmodulated) rates; predictions vs actual probs at t+h.
 
-    ``probs_closed (N,)``. Returns {h: {predictions, actuals}}.
+    ``probs_closed (N,)``. Returns {h: {predictions, actuals}}. With ``mesh``
+    the batch of per-start-index solves shards the sample axis across the
+    mesh (the reference loops these serially on CPU, ref 08:264-276).
     """
     probs_closed = np.asarray(probs_closed, np.float64)
     max_h = max(horizons)
@@ -66,10 +69,22 @@ def multistep_forecast(
         return {h: {"predictions": np.array([]), "actuals": np.array([])}
                 for h in horizons}
 
-    y0 = jnp.asarray(prob_to_ode_state(probs_closed[:n]), jnp.float32)  # (n, 3)
-    k_batch = jnp.broadcast_to(jnp.asarray(k, jnp.float32), (n, 6))
+    y0_np = prob_to_ode_state(probs_closed[:n]).astype(np.float32)  # (n, 3)
+    pad = 0
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-n) % n_dev
+        y0_np = np.pad(y0_np, ((0, pad), (0, 0)))
+        # pad rows start at an arbitrary valid simplex point
+        y0_np[n:] = [1.0, 0.0, 0.0]
+    y0 = jnp.asarray(y0_np)
+    k_batch = jnp.broadcast_to(jnp.asarray(k, jnp.float32), (n + pad, 6))
+    if mesh is not None:
+        from eegflow.train.mesh import shard_batch
+
+        y0, k_batch = shard_batch((y0, jnp.asarray(k_batch)), mesh)
     # grid matches ref predict_trajectory: t = linspace(0, H*dt, H+1)
-    traj = np.asarray(solve_batch(y0, 0.0, max_h * dt, max_h + 1, k_batch))
+    traj = np.asarray(solve_batch(y0, 0.0, max_h * dt, max_h + 1, k_batch))[:n]
 
     results: Dict[int, Dict[str, np.ndarray]] = {}
     for h in horizons:
@@ -114,11 +129,12 @@ def rolling_forecast_evaluation(
     k: np.ndarray,
     window_size: int = 50,
     horizon: int = 10,
+    mesh=None,
 ) -> list:
     """Non-overlapping rolling windows -> per-window accuracy/MAE
     (ref 08:346-392), on top of one batched forecast."""
     probs_closed = np.asarray(probs_closed, np.float64)
-    res = multistep_forecast(probs_closed, k, horizons=(horizon,))
+    res = multistep_forecast(probs_closed, k, horizons=(horizon,), mesh=mesh)
     preds = res[horizon]["predictions"]
     actuals = res[horizon]["actuals"]
     n_windows = (len(probs_closed) - window_size - horizon) // window_size

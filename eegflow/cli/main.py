@@ -323,6 +323,18 @@ def cmd_fit_ode(args):
                              paths["figures"] / "fig12_sensitivity_heatmap")
 
 
+def _maybe_mesh():
+    """1-D data mesh over all visible devices when more than one is present
+    (the analysis hot paths shard their sample axis over it)."""
+    import jax
+
+    if len(jax.devices()) > 1:
+        from eegflow.train.mesh import make_data_mesh
+
+        return make_data_mesh()
+    return None
+
+
 def _load_coupled_model(paths, cfg):
     from eegflow.couple import CoupledModel
     from eegflow.ode import rates_to_array
@@ -345,9 +357,10 @@ def cmd_integrate(args):
     paths = _paths(args)
     arrays, _ = _load_splits(paths)
     model = _load_coupled_model(paths, cfg)
+    mesh = _maybe_mesh()
 
     t0 = time.time()
-    res = predict_batch(model, arrays["X_test"])
+    res = predict_batch(model, arrays["X_test"], mesh=mesh)
     dt = time.time() - t0
     n = len(arrays["y_test"])
     print(f"coupled inference: {n} samples in {dt:.2f}s ({n / max(dt, 1e-9):.0f}/s)")
@@ -358,7 +371,7 @@ def cmd_integrate(args):
 
     sweep = coupling_strength_sweep(model, arrays["X_test"], arrays["y_test"],
                                     cfg.coupling.sweep_alphas,
-                                    cfg.coupling.forecast_steps)
+                                    cfg.coupling.forecast_steps, mesh=mesh)
     save_results(paths["results"] / "integration_results.json",
                  {"evaluation": evaluation, "throughput_samples_per_sec": n / max(dt, 1e-9)})
     save_results(paths["results"] / "coupling_analysis.json", sweep)
@@ -404,7 +417,8 @@ def cmd_explain(args):
     grad = gradient_channel_importance(params, model_cfg, x_test,
                                        channel_names=channel_names)
     perm = permutation_channel_importance(params, model_cfg, x_test, y_test,
-                                          channel_names=channel_names)
+                                          channel_names=channel_names,
+                                          mesh=_maybe_mesh())
     methods = [grad, perm]
     if not args.skip_shap:
         shap_res = kernel_shap_channel_importance(
@@ -473,12 +487,13 @@ def cmd_forecast(args):
     ode_results = load_results(paths["results"] / "ode_results.json")
     k = rates_to_array(ode_results["fitted_params"])
 
+    mesh = _maybe_mesh()
     probs = predict_probs(params, arrays["X_test"], model_cfg,
-                          cfg.train.eval_batch_size)
+                          cfg.train.eval_batch_size, mesh=mesh)
     horizons = (5, 10, 20)
-    results = multistep_forecast(probs[:, 1], k, horizons)
+    results = multistep_forecast(probs[:, 1], k, horizons, mesh=mesh)
     metrics = evaluate_forecasts(results, horizons)
-    rolling = rolling_forecast_evaluation(probs[:, 1], k)
+    rolling = rolling_forecast_evaluation(probs[:, 1], k, mesh=mesh)
     save_results(paths["results"] / "forecasting_results.json",
                  {"metrics": {str(h): m for h, m in metrics.items()},
                   "rolling": rolling})

@@ -90,6 +90,7 @@ def predict_batch(
     x: np.ndarray,
     forecast_steps: Optional[int] = None,
     batch_size: int = 2048,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Host wrapper: pads to static batch buckets, concatenates results.
 
@@ -97,20 +98,40 @@ def predict_batch(
     ``batch_size``) so novel request sizes reuse a small set of warmed
     compiles instead of triggering a fresh jit per distinct shape — critical
     for the HTTP server, where multi-second recompiles would stall requests.
+
+    With ``mesh`` (a 1-D data mesh) the batch axis is sharded across the
+    mesh's devices and the whole fused rollout runs SPMD — the reference's
+    phase-2 per-sample CPU loop (ref 06:367-406) becomes an 8-chip program.
+    Results are bitwise-identical to the single-device path (every op is
+    per-sample).
     """
     steps = forecast_steps or model.coupling.forecast_steps
     n = len(x)
+    params, k_base = model.params, model.k_base
+    n_dev = 1
+    if mesh is not None:
+        from eegflow.train.mesh import replicate_to_mesh
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        params = replicate_to_mesh(params, mesh)
+        k_base = replicate_to_mesh(k_base, mesh)
     out: Dict[str, list] = {}
     for i in range(0, n, batch_size):
         xb = x[i : i + batch_size]
         k = len(xb)
-        bucket = min(batch_size, max(8, 1 << (k - 1).bit_length()))
+        bucket = min(batch_size, max(8, n_dev, 1 << (k - 1).bit_length()))
+        bucket += (-bucket) % n_dev
         if k < bucket:
             xb = np.concatenate(
                 [xb, np.zeros((bucket - k,) + xb.shape[1:], xb.dtype)]
             )
+        xb = jnp.asarray(xb)
+        if mesh is not None:
+            from eegflow.train.mesh import shard_batch
+
+            xb = shard_batch(xb, mesh)
         res = coupled_rollout(
-            model.params, jnp.asarray(xb), model.k_base, model.model_cfg,
+            params, xb, k_base, model.model_cfg,
             forecast_steps=steps, alpha=model.coupling.coupling_strength,
             rate_floor=model.coupling.rate_floor,
             init_threshold=model.coupling.init_threshold,

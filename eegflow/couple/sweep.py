@@ -27,11 +27,27 @@ def coupling_strength_sweep(
     alphas: Sequence[float] = (0.0, 0.25, 0.5, 0.75, 1.0),
     forecast_steps: int = 20,
     batch_size: int = 2048,
+    mesh=None,
 ) -> Dict[str, Dict[str, float]]:
-    """Returns {alpha: {accuracy, f1, mcc}} like coupling_analysis.json."""
-    probs = predict_probs(model.params, x, model.model_cfg, batch_size)
-    p_open = jnp.asarray(probs[:, 0])
-    p_closed = jnp.asarray(probs[:, 1])
+    """Returns {alpha: {accuracy, f1, mcc}} like coupling_analysis.json.
+
+    With ``mesh`` both the (single) classifier pass and every per-alpha batch
+    of ODE solves shard their sample axis across the mesh — the sweep is
+    embarrassingly parallel over samples (SURVEY §2.11/§5).
+    """
+    probs = predict_probs(model.params, x, model.model_cfg, batch_size,
+                          mesh=mesh)
+    n = len(probs)
+    pad = 0
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-n) % n_dev
+    probs_j = jnp.asarray(np.pad(probs, ((0, pad), (0, 0))))
+    if mesh is not None:
+        from eegflow.train.mesh import shard_batch
+
+        probs_j = shard_batch(probs_j, mesh)
+    p_open, p_closed = probs_j[:, 0], probs_j[:, 1]
     y0 = infer_initial_state(p_closed, p_open, model.coupling.init_threshold)
 
     results: Dict[str, Dict[str, float]] = {}
@@ -39,7 +55,7 @@ def coupling_strength_sweep(
         k_mod = modulate_rates(model.k_base, p_closed, p_open, float(alpha),
                                model.coupling.rate_floor)
         traj = solve_batch(y0, 0.0, float(forecast_steps), forecast_steps, k_mod)
-        pred = np.asarray((traj[:, -1, 2] > 0.5).astype(jnp.int32))
+        pred = np.asarray((traj[:, -1, 2] > 0.5).astype(jnp.int32))[:n]
         m = binary_metrics(y, pred)
         results[f"{alpha}"] = {
             "accuracy": m["accuracy"], "f1": m["f1"], "mcc": m["mcc"],

@@ -27,7 +27,11 @@ def permutation_channel_importance(
     batch_size: int = 5120,
     seed: int = 42,
     channel_names: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> Dict[str, object]:
+    """``mesh`` shards every stacked-permutation batch over the mesh's data
+    axis (61 channels x 5 repeats of jitted inference is an explainability
+    cost center, SURVEY §2.6/§5)."""
     rng = np.random.RandomState(seed)
     if len(x) > n_samples:
         idx = rng.choice(len(x), n_samples, replace=False)
@@ -38,7 +42,7 @@ def permutation_channel_importance(
 
     def predictions(data: np.ndarray) -> np.ndarray:
         probs = predict_probs(params, data, model_cfg, batch_size,
-                              eval_step=eval_step)
+                              eval_step=eval_step, mesh=mesh)
         return probs.argmax(1)
 
     baseline_acc = float((predictions(x) == y).mean())

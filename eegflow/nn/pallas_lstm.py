@@ -22,9 +22,10 @@ recurrence with the hidden/cell state pinned in VMEM across ALL timesteps:
   leaves the ``dW_hh`` reduction to one big XLA einsum outside the kernel
   (2 small matmuls/step instead of 3).
 
-Numerics match eegflow.nn.lstm.lstm_layer_apply exactly in f32 (tested in
-interpret mode on CPU and compiled on TPU); gradients match the scan layer's
-autodiff to 1e-4. Replaces the reference's cuDNN fused LSTM
+Numerics match eegflow.nn.lstm.lstm_layer_apply to ~1e-4 in f32 (sigmoid is
+evaluated via the tanh identity — see _sigmoid — the only deviation source;
+tested in interpret mode on CPU and compiled on TPU); gradients match the
+scan layer's autodiff to ~1e-4 relative. Replaces the reference's cuDNN fused LSTM
 (ref 04_lstm_model.py:181-188).
 """
 
@@ -37,6 +38,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _sigmoid(x):
+    """sigmoid via the tanh identity: Mosaic's tanh is ~2x cheaper than the
+    exp+divide lowering of jax.nn.sigmoid, and the recurrence kernels are
+    VPU-transcendental-bound (measured 2.10 -> 1.24 ms/layer-direction at
+    B=512, T=256, H=256). Deviation from the exp form is ~5e-5 over a full
+    256-step recurrence (different polynomial approximation, same function)."""
+    return 0.5 * jnp.tanh(0.5 * x) + 0.5
 
 
 # ---------------------------------------------------------------------------
@@ -69,10 +79,10 @@ def _lstm_chunk_kernel(gates_ref, w_hh_ref, out_ref, cell_out_ref, h_ref, c_ref,
         z = gates_ref[:, i, :] + jnp.dot(
             h_mm, w_hh_ref[:], preferred_element_type=jnp.float32
         )
-        gi = jax.nn.sigmoid(z[:, :hidden])
-        gf = jax.nn.sigmoid(z[:, hidden : 2 * hidden])
+        gi = _sigmoid(z[:, :hidden])
+        gf = _sigmoid(z[:, hidden : 2 * hidden])
         gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
-        go = jax.nn.sigmoid(z[:, 3 * hidden :])
+        go = _sigmoid(z[:, 3 * hidden :])
         c_new = gf * c + gi * gg
         h_new = go * jnp.tanh(c_new)
         h_ref[:] = h_new
@@ -288,10 +298,10 @@ def _lstm_bwd_chunk_kernel(
         z = gates_ref[:, i_t, :].astype(jnp.float32) + jnp.dot(
             h_mm, w_hh_ref[:], preferred_element_type=jnp.float32
         )
-        gi = jax.nn.sigmoid(z[:, :hidden])
-        gf = jax.nn.sigmoid(z[:, hidden : 2 * hidden])
+        gi = _sigmoid(z[:, :hidden])
+        gf = _sigmoid(z[:, hidden : 2 * hidden])
         gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
-        go = jax.nn.sigmoid(z[:, 3 * hidden :])
+        go = _sigmoid(z[:, 3 * hidden :])
         tc = jnp.tanh(c_t)
 
         dh = g_ref[:, i_t, :].astype(jnp.float32) + dh_ref[:]

@@ -47,12 +47,27 @@ def predict_probs(
     bf16: bool = True,
     eval_step=None,
     lstm_impl: str = "scan",
+    mesh=None,
 ) -> np.ndarray:
-    """Batched inference -> (N, num_classes) probabilities."""
+    """Batched inference -> (N, num_classes) probabilities.
+
+    With ``mesh`` each padded batch is sharded over the mesh's data axis and
+    the forward runs SPMD (params replicated) — results identical to the
+    single-device path.
+    """
     step = eval_step or make_eval_step(model_cfg, bf16=bf16, lstm_impl=lstm_impl)
+    if mesh is not None:
+        from eegflow.train.mesh import replicate_to_mesh, shard_batch
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        batch_size += (-batch_size) % n_dev
+        params = replicate_to_mesh(params, mesh)
     out = []
     for xb, _, mask in padded_eval_batches(x, np.zeros(len(x), np.int64), batch_size):
-        probs = np.asarray(step(params, jnp.asarray(xb)))
+        xb = jnp.asarray(xb)
+        if mesh is not None:
+            xb = shard_batch(xb, mesh)
+        probs = np.asarray(step(params, xb))
         out.append(probs[mask])
     return np.concatenate(out, axis=0) if out else np.empty((0, model_cfg.num_classes))
 

