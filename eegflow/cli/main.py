@@ -231,7 +231,9 @@ def cmd_train(args):
     if train_cfg.augment:
         rng = np.random.default_rng(train_cfg.seed)
         x_train, y_train = augment_data(x_train, y_train, rng,
-                                        train_cfg.noise_std, train_cfg.max_shift)
+                                        train_cfg.noise_std, train_cfg.max_shift,
+                                        mixup=train_cfg.aug_mixup,
+                                        channel_dropout=train_cfg.aug_channel_dropout)
         print(f"augmented train set: {x_train.shape}")
 
     mesh = None
@@ -602,6 +604,83 @@ def cmd_serve(args):
         httpd.shutdown()
 
 
+
+
+def cmd_parity(args):
+    """Real-data parity check vs the reference's published table
+    (ref README.md:220-224, +-0.5 pp target from BASELINE.json).
+
+    Chain: [download] -> preprocess with filter_method='filtfilt' (exact
+    scipy parity, bit-faithful to ref 02:114-131) -> baselines -> train at
+    reference hyperparameters -> fit-ode -> integrate -> diff every
+    published number. The only step that needs the network is the download;
+    without egress, pass --synthetic to exercise the chain end-to-end on the
+    synthetic dataset (results marked not-comparable).
+    """
+    import dataclasses
+
+    from eegflow.analyze.parity import compare_to_reference, format_parity_table
+    from eegflow.data.bids import discover_recordings
+
+    cfg = _load_config(args)
+    paths = _paths(args)
+    synthetic = bool(args.synthetic)
+    recs = discover_recordings(args.data_dir, cfg.data.tasks, cfg.data.max_subjects)
+    if not recs:
+        if args.synthetic:
+            from eegflow.data.synthetic import generate_synthetic_dataset
+
+            generate_synthetic_dataset(args.data_dir, n_subjects=args.subjects,
+                                       duration_s=args.duration)
+            print(f"no recordings found; generated a synthetic dataset under "
+                  f"{args.data_dir} (results will be marked not-comparable)")
+        elif args.yes:
+            dl = argparse.Namespace(data_dir=args.data_dir, yes=True,
+                                    subjects=60, parallel=True)
+            rc = cmd_download(dl)
+            if rc:
+                print("BLOCKED STEP: downloading ds004148 requires network "
+                      "egress to OpenNeuro S3 — rerun where the network "
+                      "allows, or pass --synthetic to exercise the chain.")
+                return rc
+        else:
+            print("dataset not found; pass -y to download ds004148 (the one "
+                  "network-dependent step) or --synthetic for a dry run")
+            return 1
+
+    # bit-faithful preprocessing for the parity run (ref 02:114-131 filtfilt)
+    cfg = dataclasses.replace(
+        cfg, preprocess=dataclasses.replace(cfg.preprocess,
+                                            filter_method="filtfilt"))
+    cfg_path = Path(args.output_dir) / "parity_config.json"
+    cfg_path.parent.mkdir(parents=True, exist_ok=True)
+    cfg.to_json(cfg_path)
+    stage_args = argparse.Namespace(
+        data_dir=args.data_dir, output_dir=args.output_dir,
+        config=str(cfg_path), epochs=args.epochs, profile=None,
+        skip_shap=True, hidden=None,
+    )
+    for fn in (cmd_preprocess, cmd_baselines, cmd_train, cmd_fit_ode,
+               cmd_integrate):
+        print(f"\n===== parity: {fn.__name__[4:]} =====")
+        rc = fn(stage_args)
+        if rc:
+            return rc
+
+    measured = {}
+    measured.update(load_results(paths["results"] / "baseline_results.json"))
+    measured["lstm_attention"] = load_results(paths["results"] / "lstm_results.json")
+    measured["lstm_ode_integration"] = load_results(
+        paths["results"] / "integration_results.json")["evaluation"]
+    report = compare_to_reference(measured, comparable=not synthetic)
+    save_results(paths["results"] / "parity_report.json", report)
+    print()
+    print(format_parity_table(report))
+    return 0
+
+
+
+
 def cmd_all(args):
     for fn in (cmd_explore, cmd_preprocess, cmd_baselines, cmd_train,
                cmd_fit_ode, cmd_integrate, cmd_explain, cmd_forecast,
@@ -660,6 +739,16 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8799)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("parity", help="real-data parity check vs the reference's published results")
+    p.add_argument("-y", "--yes", action="store_true",
+                   help="confirm the ~10 GB ds004148 download if absent")
+    p.add_argument("--synthetic", action="store_true",
+                   help="fall back to synthetic data (no-egress dry run)")
+    p.add_argument("--subjects", type=int, default=24)
+    p.add_argument("--duration", type=float, default=60.0)
+    p.add_argument("--epochs", type=int, default=None)
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("all", help="run the full pipeline")
     p.add_argument("--epochs", type=int, default=None)

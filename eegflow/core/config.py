@@ -121,6 +121,11 @@ class TrainConfig:
     augment: bool = True
     noise_std: float = 0.01                    # ref 04:862
     max_shift: int = 5                         # circular time-shift augmentation
+    # regularizers beyond the reference, for small-subject-count runs (the
+    # model memorizes subjects below ~20): within-class mixup copy and
+    # channel-dropout copy (see eegflow.train.data.augment_data)
+    aug_mixup: bool = False
+    aug_channel_dropout: float = 0.0
     weighted_sampling: bool = True
     data_axis: str = "data"                    # mesh axis name for DP
     # "scan": XLA lax.scan recurrence; "pallas": fused VMEM-resident kernel

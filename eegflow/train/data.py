@@ -41,6 +41,8 @@ def augment_data(
     rng: np.random.Generator,
     noise_std: float = 0.05,
     max_shift: int = 5,
+    mixup: bool = False,
+    channel_dropout: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """3x augmentation (ref 04:290-312): original + Gaussian noise + circular
     time shift (per-sample random shift in [-max_shift, max_shift]).
@@ -49,15 +51,36 @@ def augment_data(
     draw and the shift copy is one gather. Deviation (documented): the
     reference skips the shifted copy when shift==0 (~1/11 of samples); we keep
     it for static shapes, so augmented size is exactly 3N.
+
+    Two optional regularizers beyond the reference (for small-subject-count
+    generalization — the model memorizes subjects below ~20 of them):
+    ``mixup`` adds a 4th copy of within-class convex mixes
+    (lam ~ Beta(0.4, 0.4), partner drawn from the same class, hard labels
+    kept so the weighted-CE loss is unchanged); ``channel_dropout`` adds a
+    5th copy with each channel independently zeroed with this probability
+    (forces the classifier off any single electrode).
     """
     n, t, c = x.shape
     noise = x + rng.normal(0.0, noise_std, x.shape).astype(x.dtype)
     shifts = rng.integers(-max_shift, max_shift + 1, size=n)
     time_idx = (np.arange(t)[None, :] - shifts[:, None]) % t  # roll(+s) == gather(t-s)
     shifted = np.take_along_axis(x, time_idx[:, :, None], axis=1)
-    x_aug = np.concatenate([x, noise, shifted], axis=0)
-    y_aug = np.concatenate([y, y, y], axis=0)
-    return x_aug, y_aug
+    copies_x = [x, noise, shifted]
+    copies_y = [y, y, y]
+    if mixup:
+        partner = np.empty(n, np.int64)
+        for cls in np.unique(y):
+            members = np.flatnonzero(y == cls)
+            partner[members] = rng.choice(members, size=len(members))
+        lam = rng.beta(0.4, 0.4, size=n).astype(x.dtype)[:, None, None]
+        copies_x.append(lam * x + (1.0 - lam) * x[partner])
+        copies_y.append(y)
+    if channel_dropout > 0.0:
+        keep = (rng.random((n, 1, c)) >= channel_dropout).astype(x.dtype)
+        # rescale like inverted dropout so per-window power is preserved
+        copies_x.append(x * keep / max(1.0 - channel_dropout, 1e-6))
+        copies_y.append(y)
+    return np.concatenate(copies_x, axis=0), np.concatenate(copies_y, axis=0)
 
 
 def batch_iterator(

@@ -179,3 +179,42 @@ def test_download_requires_confirmation(tmp_path, capsys):
     rc = main(["--data-dir", str(tmp_path), "download"])
     assert rc == 1
     assert "Pass -y to confirm" in capsys.readouterr().out
+
+
+def test_parity_runner_synthetic(tmp_path):
+    """The parity runner works end-to-end in mocked (synthetic) mode and
+    documents non-comparability; on real data the same command prints the
+    ±0.5 pp verdict (blocked here only by the download's network need)."""
+    data_dir = tmp_path / "data"
+    out = tmp_path / "outputs"
+    cfg = PipelineConfig(
+        data=DataConfig(dataset_dir=str(data_dir), max_subjects=None),
+        model=ModelConfig(input_size=8, hidden_size=16, num_layers=1, dropout=0.1),
+        train=TrainConfig(epochs=2, batch_size=64, eval_batch_size=128,
+                          accumulation_steps=1, learning_rate=3e-3,
+                          warmup_epochs=1, patience=10, bf16=False),
+        ode=ODEConfig(de_maxiter=30),
+    )
+    cfg_path = tmp_path / "config.json"
+    cfg.to_json(cfg_path)
+    rc = main(["--data-dir", str(data_dir), "--output-dir", str(out),
+               "--config", str(cfg_path), "parity", "--synthetic",
+               "--subjects", "4", "--duration", "20", "--epochs", "2"])
+    assert rc == 0
+    report = json.loads((out / "results" / "parity_report.json").read_text())
+    assert report["comparable"] is False
+    assert "NOT COMPARABLE" in report["verdict"]
+    assert {"svm", "random_forest", "lstm_attention",
+            "lstm_ode_integration"} <= set(report["models"])
+    for entry in report["models"].values():
+        assert "accuracy" in entry and "delta" in entry["accuracy"]
+    # preprocessing really used the bit-faithful filter
+    pc = json.loads((out / "parity_config.json").read_text())
+    assert pc["preprocess"]["filter_method"] == "filtfilt"
+
+
+def test_parity_requires_confirmation_without_data(tmp_path, capsys):
+    rc = main(["--data-dir", str(tmp_path / "none"), "--output-dir",
+               str(tmp_path / "out"), "parity"])
+    assert rc == 1
+    assert "-y" in capsys.readouterr().out

@@ -243,3 +243,29 @@ def test_resume_restores_best_params_when_no_later_improvement(tmp_path, rng):
     assert len(flat_c) == len(flat_r)
     for a, b in zip(flat_c, flat_r):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_augment_mixup_and_channel_dropout(rng):
+    from eegflow.train.data import augment_data
+
+    x = rng.standard_normal((20, 16, 4)).astype(np.float32)
+    y = rng.integers(0, 2, 20)
+    ax, ay = augment_data(x, y, np.random.default_rng(0), mixup=True,
+                          channel_dropout=0.3)
+    assert ax.shape == (100, 16, 4) and ay.shape == (100,)
+    np.testing.assert_array_equal(ay, np.tile(y, 5))
+    # mixup copy stays within the convex hull of its class
+    mix = ax[60:80]
+    for cls in (0, 1):
+        members = x[y == cls]
+        lo, hi = members.min(), members.max()
+        m = mix[y == cls]
+        assert m.min() >= lo - 1e-5 and m.max() <= hi + 1e-5
+    # channel-dropout copy: some channels exactly zero, others rescaled
+    cd = ax[80:]
+    zero_frac = (np.abs(cd).max(axis=1) == 0).mean()
+    assert 0.05 < zero_frac < 0.6
+    # reference 3x semantics preserved by default
+    bx, by = augment_data(x, y, np.random.default_rng(0))
+    assert bx.shape == (60, 16, 4)
+    np.testing.assert_array_equal(bx[:20], x)

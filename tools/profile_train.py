@@ -52,7 +52,7 @@ def main():
               f"{args.batch/step_s:,.0f} windows/s | MFU {mfu*100:.1f}%", flush=True)
         for cat, t in sorted(dt.by_category.items(), key=lambda kv: -kv[1])[:8]:
             print(f"    cat {cat:<28} {t/args.steps*1e3:8.3f} ms/step", flush=True)
-        for op, t in dt.top_ops(12):
+        for op, t in dt.top_ops(int(__import__('os').environ.get('TOPOPS', '12'))):
             print(f"    op  {op[:60]:<60} {t/args.steps*1e3:8.3f} ms/step", flush=True)
 
 if __name__ == "__main__":
