@@ -60,6 +60,73 @@ def _enumerate_coalitions(n_features: int):
     return np.asarray(masks), np.asarray(weights)
 
 
+def _stratified_coalitions(
+    rng: np.random.RandomState, n_features: int, nsamples: int
+):
+    """Mid-size-C budget allocation like shap's KernelExplainer: enumerate
+    COMPLETE size strata (paired s and C-s, smallest sizes first — they carry
+    the largest Shapley-kernel weight per coalition) while the budget covers
+    them, then spend the remainder sampling from the residual sizes. Complete
+    strata contribute exact-kernel-weighted rows (zero sampling variance for
+    the heaviest strata); sampled rows share the residual weight mass.
+    """
+    from itertools import combinations
+    from math import comb
+
+    c = n_features
+    sizes = np.arange(1, c)
+    kernel = (c - 1) / (sizes * (c - sizes))          # weight per coalition
+    mass = kernel * np.array([comb(c, int(s)) for s in sizes])  # per stratum
+
+    # visiting order: (1, C-1), (2, C-2), ... — outermost pairs first
+    order = []
+    lo, hi = 1, c - 1
+    while lo <= hi:
+        order.append(lo)
+        if hi != lo:
+            order.append(hi)
+        lo += 1
+        hi -= 1
+
+    masks, weights = [], []
+    budget = nsamples
+    enumerated = set()
+    for s in order:
+        n_s = comb(c, s)
+        if n_s > budget:
+            break
+        w = float(kernel[s - 1])
+        for members in combinations(range(c), s):
+            z = np.zeros(c, np.float64)
+            z[list(members)] = 1.0
+            masks.append(z)
+            weights.append(w)
+        enumerated.add(s)
+        budget -= n_s
+
+    rest_sizes = [s for s in sizes if s not in enumerated]
+    if budget > 0 and rest_sizes:
+        rest_mass = np.array([mass[s - 1] for s in rest_sizes])
+        rest_probs = rest_mass / rest_mass.sum()
+        # the sampled rows jointly represent the residual kernel mass, on the
+        # same (unnormalized) scale as the enumerated rows' exact weights
+        w_each = float(rest_mass.sum()) / budget
+        drawn = 0
+        while drawn < budget:
+            s = int(rng.choice(rest_sizes, p=rest_probs))
+            members = rng.choice(c, size=s, replace=False)
+            z = np.zeros(c, np.float64)
+            z[members] = 1.0
+            masks.append(z)
+            weights.append(w_each)
+            drawn += 1
+            if drawn < budget:
+                masks.append(1.0 - z)
+                weights.append(w_each)
+                drawn += 1
+    return np.asarray(masks), np.asarray(weights)
+
+
 def kernel_shap_values(
     f_batch: Callable[[np.ndarray], np.ndarray],
     x_explain: np.ndarray,
@@ -72,10 +139,12 @@ def kernel_shap_values(
     ``f_batch`` maps (N, C) feature rows to (N,) outputs and is called once
     per explained sample with the full (M * n_background, C) matrix.
 
-    When all 2^C - 2 coalitions fit the ``nsamples`` budget they are
-    enumerated with exact Shapley-kernel weights (the result is then the
-    exact Shapley value under the background distribution, matching shap's
-    exhaustive mode); otherwise coalitions are sampled from the kernel.
+    Coalition budget tiers: when all 2^C - 2 coalitions fit ``nsamples`` they
+    are enumerated with exact Shapley-kernel weights (exact Shapley values,
+    matching shap's exhaustive mode); when at least the outermost size strata
+    fit (mid-size C — e.g. the 61-channel montage with the default budget)
+    complete strata are enumerated and only the residual sizes are sampled;
+    otherwise pure paired kernel sampling.
     """
     rng = np.random.RandomState(seed)
     x_explain = np.asarray(x_explain, np.float64)
@@ -88,6 +157,8 @@ def kernel_shap_values(
 
     if c <= 24 and 2**c - 2 <= nsamples:
         z, weights = _enumerate_coalitions(c)
+    elif nsamples >= 2 * c:  # at least the (1, C-1) strata fit: stratify
+        z, weights = _stratified_coalitions(rng, c, nsamples)
     else:
         z = _sample_coalitions(rng, c, nsamples)  # (M, C)
         weights = np.ones(len(z))

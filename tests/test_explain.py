@@ -168,3 +168,45 @@ def test_kernel_shap_exact_enumeration_matches_brute_force(rng):
     got = kernel_shap_values(f, x, bg, nsamples=64, seed=0)
     for i in range(2):
         np.testing.assert_allclose(got[i], brute_shapley(x[i]), atol=1e-8)
+
+
+def test_stratified_coalitions_budget_and_weights():
+    from math import comb
+
+    from eegflow.explain.kernelshap import _stratified_coalitions
+
+    rng = np.random.RandomState(0)
+    c, budget = 12, 200
+    z, w = _stratified_coalitions(rng, c, budget)
+    assert len(z) == budget and len(w) == budget
+    sizes = z.sum(axis=1).astype(int)
+    # strata (1, 11) and (2, 10) fit in 200 (12+12+66+66=156) and must be
+    # complete with exact kernel weights
+    for s in (1, 11, 2, 10):
+        n_s = int((sizes == s).sum())
+        assert n_s >= comb(c, s), (s, n_s)
+        expected = (c - 1) / (s * (c - s))
+        got = w[sizes == s]
+        assert np.allclose(sorted(got)[: comb(c, s)], expected) or np.allclose(
+            got.min(), expected)
+    # every mask non-trivial
+    assert sizes.min() >= 1 and sizes.max() <= c - 1
+
+
+def test_stratified_kernel_shap_close_to_exact():
+    """On a linear model, stratified-budget SHAP ~= exact Shapley values."""
+    from eegflow.explain.kernelshap import kernel_shap_values
+
+    rng = np.random.default_rng(0)
+    c = 12
+    coefs = rng.standard_normal(c)
+
+    def f(rows):
+        return rows @ coefs
+
+    bg = rng.standard_normal((20, c))
+    xs = rng.standard_normal((4, c))
+    # linear model: exact Shapley value is coef * (x - E[bg])
+    exact = coefs[None, :] * (xs - bg.mean(0, keepdims=True))
+    approx = kernel_shap_values(f, xs, bg, nsamples=300, seed=1)
+    np.testing.assert_allclose(approx, exact, atol=1e-6)

@@ -15,7 +15,10 @@ def main():
     impls = args.impls or ["scan", "pallas"]
 
     import dataclasses
+    import os as _os
     import jax, jax.numpy as jnp
+    if _os.environ.get("EEGFLOW_PRNG"):
+        jax.config.update("jax_default_prng_impl", _os.environ["EEGFLOW_PRNG"])
     from eegflow.core.config import ModelConfig, TrainConfig
     from eegflow.core.profiling import device_time, TPU_V5E_BF16_PEAK_FLOPS
     from eegflow.nn.model import classifier_init, model_flops_per_window
