@@ -45,6 +45,9 @@ def layer_norm_init(dim: int) -> Dict[str, jnp.ndarray]:
 def layer_norm_apply(
     params: Dict[str, jnp.ndarray], x: jnp.ndarray, eps: float = 1e-5
 ) -> jnp.ndarray:
+    # stats always in f32: under the bf16 policy activations may arrive
+    # bf16, and a 512-lane mean/var with a bf16 accumulator loses ~2 digits
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     norm = (x - mean) * jax.lax.rsqrt(var + eps)

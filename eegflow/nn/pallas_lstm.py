@@ -16,16 +16,19 @@ recurrence with the hidden/cell state pinned in VMEM across ALL timesteps:
   within a chunk) in reverse, writing outputs at their natural positions —
   device profiles showed the old host-side ``jnp.flip`` pairs cost ~23 ms per
   train step at the reference batch size;
-* the backward kernel streams the saved (h, c) sequences once and reads the
-  chunk-boundary "previous" states from small strided side tensors instead of
-  full shifted copies (the old concat-of-zeros pads cost ~5 ms/step), and
-  leaves the ``dW_hh`` reduction to one big XLA einsum outside the kernel
-  (2 small matmuls/step instead of 3).
+* the backward kernels read the chunk-boundary "previous" states from small
+  strided side tensors instead of full shifted copies (the old
+  concat-of-zeros pads cost ~5 ms/step);
+* the AMP hot path (``lstm_layer_fused`` with ``bf16=True``) uses the
+  fully-fused kernel pair further down: in-kernel input projection on the
+  forward, in-kernel dx/dW_ih/dW_hh/db on the backward — see that section's
+  header for the measured design rationale.
 
 Numerics match eegflow.nn.lstm.lstm_layer_apply to ~1e-4 in f32 (sigmoid is
 evaluated via the tanh identity — see _sigmoid — the only deviation source;
 tested in interpret mode on CPU and compiled on TPU); gradients match the
-scan layer's autodiff to ~1e-4 relative. Replaces the reference's cuDNN fused LSTM
+scan layer's autodiff to ~1e-4 relative (f32) / ~0.4% relative under the
+bf16 matmul policy. Replaces the reference's cuDNN fused LSTM
 (ref 04_lstm_model.py:181-188).
 """
 
@@ -248,6 +251,295 @@ def pallas_bilstm_stack_apply(
 
 
 # ---------------------------------------------------------------------------
+# Fully-fused AMP training kernels (the bf16-policy hot path)
+#
+# Measured design notes (v5e device traces): the recurrence kernels are
+# DMA/VPU-floor-bound, NOT HBM-bandwidth-bound, so bf16 storage of the
+# sequence tensors LOSES — the (2,1)-packed sublane pack/unpack costs more
+# VPU time than the halved DMA saves (bwd kernel: 2.57 ms with f32 streams
+# vs 4.21 ms with bf16 streams at B=512, T=256, H=256). All HBM streams stay
+# f32; only the MXU matmuls run bf16 with f32 accumulation (the AMP policy,
+# torch analogue ref 04_lstm_model.py:486-489).
+#
+# * forward (`lstm_fwd_fused_proj`): the input projection x @ W_ih runs
+#   INSIDE the kernel (W_ih VMEM-resident), so the (B, T, 4H) input-gates
+#   tensor never exists in HBM — both the XLA einsum's write of it and the
+#   kernel's read of it are gone. The kernel stores the full pre-activation
+#   z = x@W_ih + b + h@W_hh as the backward residual along with (h, c).
+# * backward (`lstm_bwd_fused`): consumes (z, c, g, h, x) and produces dx,
+#   dW_ih, dW_hh, db all in-kernel: dgates never touches HBM and the three
+#   large XLA einsums (dW_ih, dW_hh, dx) disappear. The weight-gradient
+#   blocks live VMEM-resident across the whole grid (constant index maps)
+#   and accumulate in f32; the per-step dW matmuls contract over the batch
+#   tile (K=128 — the MXU's native contraction width).
+#
+# Measured at (B=512, T=256, H=256, D=512): fwd 1.8 ms, bwd 4.1 ms per
+# layer-direction vs ~3.2 / ~8.4 ms for the unfused einsum+kernel pipeline.
+# Replaces the reference's cuDNN fused LSTM + autograd (ref
+# 04_lstm_model.py:181-188, 486-507).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_proj_kernel(x_ref, wih_ref, b_ref, whh_ref, h_out, c_out, z_out,
+                     h_sc, c_sc, *, t_chunk: int, hidden: int, reverse: bool):
+    """One (batch_tile, time_chunk) grid step: project + recurrence, storing
+    (h, c, z) f32 residuals. The projection matmuls are independent across
+    steps, so the MXU pipelines them behind the serial recurrence chain."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset_state():
+        h_sc[:] = jnp.zeros_like(h_sc)
+        c_sc[:] = jnp.zeros_like(c_sc)
+
+    for s in range(t_chunk):  # unrolled: static sublane offsets
+        i = t_chunk - 1 - s if reverse else s
+        z = (
+            jnp.dot(x_ref[:, i, :].astype(jnp.bfloat16), wih_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b_ref[0:1, :]
+            + jnp.dot(h_sc[:].astype(jnp.bfloat16), whh_ref[:],
+                      preferred_element_type=jnp.float32)
+        )
+        gi = _sigmoid(z[:, :hidden])
+        gf = _sigmoid(z[:, hidden : 2 * hidden])
+        gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
+        go = _sigmoid(z[:, 3 * hidden :])
+        c_new = gf * c_sc[:] + gi * gg
+        h_new = go * jnp.tanh(c_new)
+        h_sc[:] = h_new
+        c_sc[:] = c_new
+        h_out[:, i, :] = h_new
+        c_out[:, i, :] = c_new
+        z_out[:, i, :] = z
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse")
+)
+def lstm_fwd_fused_proj(
+    x: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    b: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    batch_tile: int = 128,
+    t_chunk: int = 8,
+    interpret: bool = False,
+    reverse: bool = False,
+):
+    """(B, T, D) input -> f32 (h_seq, c_seq, z_seq); weights bf16-resident."""
+    bsz, t, d = x.shape
+    hidden = w_hh.shape[0]
+    assert bsz % batch_tile == 0 and t % t_chunk == 0
+    n_chunks = t // t_chunk
+
+    grid = (bsz // batch_tile, n_chunks)
+    if reverse:
+        seq_idx = lambda i, j: (i, n_chunks - 1 - j, 0)
+    else:
+        seq_idx = lambda i, j: (i, j, 0)
+    blk = lambda width: pl.BlockSpec((batch_tile, t_chunk, width), seq_idx,
+                                     memory_space=pltpu.VMEM)
+    const = lambda a, b_: pl.BlockSpec((a, b_), lambda i, j: (0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fwd_proj_kernel, t_chunk=t_chunk,
+                               hidden=hidden, reverse=reverse)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            blk(d),
+            const(d, 4 * hidden),
+            const(1, 4 * hidden),
+            const(hidden, 4 * hidden),
+        ],
+        out_specs=(blk(hidden), blk(hidden), blk(4 * hidden)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, t, 4 * hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # h
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # c
+        ],
+        # f32 blocks + double buffering exceed the compiler's 16 MB default
+        # scoped-vmem limit; the v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x.astype(jnp.float32), w_ih.astype(jnp.bfloat16),
+      b.reshape(1, -1).astype(jnp.float32), w_hh.astype(jnp.bfloat16))
+
+
+def _bwd_fused_kernel(z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref, x_ref,
+                      whh_t_ref, wih_t_ref,
+                      dx_ref, dwih_ref, dwhh_ref, db_ref, dh_sc, dc_sc,
+                      *, t_chunk: int, hidden: int, reverse: bool):
+    """Adjoint step producing dx and accumulating (dW_ih, dW_hh, db) into
+    VMEM-resident output blocks. Standard LSTM adjoint, gate order i,f,g,o."""
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset():
+        dh_sc[:] = jnp.zeros_like(dh_sc)
+        dc_sc[:] = jnp.zeros_like(dc_sc)
+
+    @pl.when(first)
+    def _zero_accumulators():
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    for s in range(t_chunk):  # unrolled: static sublane offsets
+        # adjoint traversal is opposite to the forward direction's
+        i_t = s if reverse else t_chunk - 1 - s
+        if reverse:
+            boundary = i_t == t_chunk - 1
+            prev = i_t + 1
+        else:
+            boundary = i_t == 0
+            prev = i_t - 1
+        if boundary:
+            c_prev = cb_ref[:]
+            h_prev = hb_ref[:]
+        else:
+            c_prev = c_ref[:, prev, :]
+            h_prev = h_ref[:, prev, :]
+        z = z_ref[:, i_t, :]
+        gi = _sigmoid(z[:, :hidden])
+        gf = _sigmoid(z[:, hidden : 2 * hidden])
+        gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
+        go = _sigmoid(z[:, 3 * hidden :])
+        tc_ = jnp.tanh(c_ref[:, i_t, :])
+
+        dh = g_ref[:, i_t, :] + dh_sc[:]
+        do = dh * tc_
+        dc = dh * go * (1.0 - tc_ * tc_) + dc_sc[:]
+        di = dc * gg
+        df = dc * c_prev
+        dg = dc * gi
+        dc_sc[:] = dc * gf
+
+        dz = jnp.concatenate(
+            [di * gi * (1.0 - gi), df * gf * (1.0 - gf),
+             dg * (1.0 - gg * gg), do * go * (1.0 - go)],
+            axis=-1,
+        )
+        dz16 = dz.astype(jnp.bfloat16)
+        dx_ref[:, i_t, :] = jnp.dot(dz16, wih_t_ref[:],
+                                    preferred_element_type=jnp.float32)
+        dh_sc[:] = jnp.dot(dz16, whh_t_ref[:],
+                           preferred_element_type=jnp.float32)
+        # weight grads: contract over the batch tile (K = batch_tile)
+        dwih_ref[:] += jax.lax.dot_general(
+            x_ref[:, i_t, :].astype(jnp.bfloat16), dz16,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dwhh_ref[:] += jax.lax.dot_general(
+            h_prev.astype(jnp.bfloat16), dz16,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse")
+)
+def lstm_bwd_fused(
+    z_seq: jnp.ndarray,
+    c_seq: jnp.ndarray,
+    h_seq: jnp.ndarray,
+    x: jnp.ndarray,
+    g_out: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    batch_tile: int = 128,
+    t_chunk: int = 8,
+    interpret: bool = False,
+    reverse: bool = False,
+):
+    """f32 (z, c, h) residuals + input + upstream grad -> (dx, dw_ih, dw_hh, db).
+
+    The chunk-boundary "previous" states come from small strided side
+    tensors (zeros at the chain start); everything else reads the streamed
+    blocks at static offsets.
+    """
+    bsz, t, g4 = z_seq.shape
+    hidden = g4 // 4
+    d = x.shape[-1]
+    assert bsz % batch_tile == 0 and t % t_chunk == 0
+    n_chunks = t // t_chunk
+
+    z_seq = z_seq.astype(jnp.float32)
+    c_seq = c_seq.astype(jnp.float32)
+    h_seq = h_seq.astype(jnp.float32)
+    zeros_bound = jnp.zeros((bsz, 1, hidden), jnp.float32)
+    if reverse:
+        # forward consumed time newest-first: "previous" of chunk j's last
+        # element (index (j+1)*tc - 1) is state[(j+1)*tc]; last chunk -> zeros
+        c_bound = jnp.concatenate([c_seq[:, t_chunk::t_chunk], zeros_bound], 1)
+        h_bound = jnp.concatenate([h_seq[:, t_chunk::t_chunk], zeros_bound], 1)
+    else:
+        # "previous" of chunk j's first element (index j*tc) is state[j*tc-1]
+        c_bound = jnp.concatenate(
+            [zeros_bound, c_seq[:, t_chunk - 1 : -1 : t_chunk]], 1)
+        h_bound = jnp.concatenate(
+            [zeros_bound, h_seq[:, t_chunk - 1 : -1 : t_chunk]], 1)
+    # flatten (B, n_chunks, H) -> (B, n_chunks*H): Mosaic wants sublane dims
+    # divisible by 8 (or full), so block the lane dim instead
+    c_bound = c_bound.reshape(bsz, n_chunks * hidden)
+    h_bound = h_bound.reshape(bsz, n_chunks * hidden)
+
+    if reverse:
+        seq_idx = lambda i, j: (i, j, 0)                 # oldest-first
+        bound_idx = lambda i, j: (i, j)
+    else:
+        seq_idx = lambda i, j: (i, n_chunks - 1 - j, 0)  # newest-first
+        bound_idx = lambda i, j: (i, n_chunks - 1 - j)
+
+    blk = lambda width: pl.BlockSpec((batch_tile, t_chunk, width), seq_idx,
+                                     memory_space=pltpu.VMEM)
+    bound_spec = pl.BlockSpec((batch_tile, hidden), bound_idx,
+                              memory_space=pltpu.VMEM)
+    const = lambda a, b_: pl.BlockSpec((a, b_), lambda i, j: (0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_bwd_fused_kernel, t_chunk=t_chunk,
+                               hidden=hidden, reverse=reverse)
+    dx, dw_ih, dw_hh, db = pl.pallas_call(
+        kernel,
+        grid=(bsz // batch_tile, n_chunks),
+        in_specs=[
+            blk(g4),                                     # z
+            blk(hidden),                                 # c
+            bound_spec,                                  # c boundary
+            blk(hidden),                                 # upstream grad
+            blk(hidden),                                 # h
+            bound_spec,                                  # h boundary
+            blk(d),                                      # x
+            const(g4, hidden),                           # W_hh^T (bf16)
+            const(g4, d),                                # W_ih^T (bf16)
+        ],
+        out_specs=(blk(d), const(d, g4), const(hidden, g4), const(1, g4)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, g4), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, g4), jnp.float32),
+            jax.ShapeDtypeStruct((1, g4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dh carry
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dc carry
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        z_seq, c_seq, c_bound, g_out.astype(jnp.float32), h_seq, h_bound,
+        x.astype(jnp.float32),
+        w_hh.astype(jnp.bfloat16).T, w_ih.astype(jnp.bfloat16).T,
+    )
+    return dx, dw_ih, dw_hh, db[0]
+
+
+# ---------------------------------------------------------------------------
 # Backward kernel: reverse-time adjoint recurrence, dW_hh left to XLA
 # ---------------------------------------------------------------------------
 
@@ -442,62 +734,84 @@ def lstm_recurrence_backward(
 
 
 _FUSED_BATCH_TILE = 128
-_FUSED_T_CHUNK = 8
+_FUSED_T_CHUNK = 8  # native f32 tile is (8, 128) sublanes x lanes
 
 
 def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16=False):
-    """Shared forward: gates einsum -> pad -> Pallas recurrence (direction
-    handled in-kernel — gates stay in natural time order)."""
-    if bf16:
-        gates = jnp.einsum(
-            "btd,dg->btg", x.astype(jnp.bfloat16), w_ih.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ) + b
-    else:
-        gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
-    b_sz, t, _ = gates.shape
+    """Shared forward for the custom-VJP layer.
+
+    Returns ``(h_pad, residuals, b_sz)``. Under bf16 (the AMP hot path) the
+    in-kernel-projection forward runs and residuals are the f32 (h, c, z)
+    sequences plus the padded input; in f32 the gates einsum + recurrence
+    kernel run and residuals are (gates, h, c).
+    """
+    b_sz, t, _ = x.shape
     bt = _pick_tile(b_sz, _FUSED_BATCH_TILE) if b_sz < _FUSED_BATCH_TILE \
         else _FUSED_BATCH_TILE
     pad_b = (-b_sz) % bt
+    tc = _pick_tile(t, _FUSED_T_CHUNK)
+    if bf16:
+        x_pad = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0))) if pad_b else x
+        h_pad, c_pad, z_pad = lstm_fwd_fused_proj(
+            x_pad, w_ih, b, w_hh, batch_tile=bt, t_chunk=tc,
+            interpret=_auto_interpret(None), reverse=reverse,
+        )
+        return h_pad, (h_pad, c_pad, z_pad, x_pad), b_sz
+
+    gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
     if pad_b:
         gates = jnp.pad(gates, ((0, pad_b), (0, 0), (0, 0)))
-    tc = _pick_tile(t, _FUSED_T_CHUNK)
     h_pad, c_pad = lstm_recurrence_pallas(
         gates, w_hh, batch_tile=bt, t_chunk=tc,
-        interpret=_auto_interpret(None), collect_cell=True, bf16=bf16,
+        interpret=_auto_interpret(None), collect_cell=True, bf16=False,
         reverse=reverse,
     )
-    return gates, h_pad, c_pad, bt, tc, b_sz
+    return h_pad, (gates, h_pad, c_pad), b_sz
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False, bf16: bool = False):
     """LSTM layer with Pallas forward AND Pallas backward kernels.
 
-    Gradients match the pure ``lax.scan`` layer (the adjoint recursion is
-    exact, tested to 1e-4); both time directions of every training step run
-    the fused VMEM-resident recurrence. ``bf16`` applies the mixed-precision
-    policy (bf16 matmuls, f32 accumulation/state) in both kernels.
+    In f32, gradients match the pure ``lax.scan`` layer (the adjoint
+    recursion is exact, tested to 1e-4). Under ``bf16`` the AMP policy
+    applies: all matmuls (projection, recurrence, adjoint, weight-gradient)
+    run on the MXU in bf16 with f32 accumulation while every stream and
+    residual stays f32 (measured faster than bf16 storage — see the fused-
+    kernel section header), via the fully-fused kernels: in-kernel input
+    projection forward, in-kernel dx/dW_ih/dW_hh/db backward.
     """
-    _, h_pad, _, _, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse,
-                                                  bf16)
+    h_pad, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16)
     return h_pad[:b_sz]
 
 
 def _fused_fwd(w_ih, w_hh, b, x, reverse, bf16):
-    gates, h_pad, c_pad, bt, tc, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x,
-                                                            reverse, bf16)
-    return h_pad[:b_sz], (w_ih, w_hh, x, gates, h_pad, c_pad)
+    h_pad, res, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16)
+    return h_pad[:b_sz], (w_ih, w_hh, x) + res
 
 
 def _fused_bwd(reverse, bf16, residuals, g):
+    if bf16:
+        w_ih, w_hh, x, h_pad, c_pad, z_pad, x_pad = residuals
+        b_sz = x.shape[0]
+        pad_b = z_pad.shape[0] - b_sz
+        bt = _pick_tile(z_pad.shape[0], _FUSED_BATCH_TILE)
+        tc = _pick_tile(z_pad.shape[1], _FUSED_T_CHUNK)
+        g_in = jnp.pad(g, ((0, pad_b), (0, 0), (0, 0))) if pad_b else g
+        dx, dw_ih, dw_hh, db = lstm_bwd_fused(
+            z_pad, c_pad, h_pad, x_pad, g_in, w_ih, w_hh,
+            batch_tile=bt, t_chunk=tc,
+            interpret=_auto_interpret(None), reverse=reverse,
+        )
+        return dw_ih, dw_hh, db, dx[:b_sz].astype(x.dtype)
+
     w_ih, w_hh, x, gates, h_pad, c_pad = residuals
     b_sz = x.shape[0]
     pad_b = gates.shape[0] - b_sz
-    # TPU tiling: the block's sublane dim (t_chunk) must divide by 8, so the
-    # backward uses t_chunk=8 with a smaller batch tile to stay in VMEM.
-    # Always pick a tile that divides the padded batch (the forward pads to
-    # its OWN tile, e.g. B=96 stays 96, which 64 does not divide).
+    # TPU tiling: the block's sublane dim (t_chunk) must divide by 8; the f32
+    # backward kernel streams 5 sequence tensors so its batch tile is
+    # VMEM-capped at 64 (always a divisor of the padded batch — the forward
+    # pads to its OWN tile, e.g. B=96 stays 96, which 64 does not divide).
     bt = _pick_tile(gates.shape[0], 64)
     tc = _pick_tile(gates.shape[1], _FUSED_T_CHUNK)
 
@@ -507,20 +821,11 @@ def _fused_bwd(reverse, bf16, residuals, g):
 
     dgates_pad, dw_hh = lstm_recurrence_backward(
         gates, h_pad, c_pad, w_hh, g_in, batch_tile=bt, t_chunk=tc,
-        interpret=_auto_interpret(None), bf16=bf16, reverse=reverse,
+        interpret=_auto_interpret(None), bf16=False, reverse=reverse,
     )
     dgates = dgates_pad[:b_sz]
-
-    if bf16:
-        dw_ih = jnp.einsum("btd,btg->dg", x.astype(jnp.bfloat16),
-                           dgates.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-        dx = jnp.einsum("btg,dg->btd", dgates.astype(jnp.bfloat16),
-                        w_ih.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-    else:
-        dw_ih = jnp.einsum("btd,btg->dg", x, dgates)
-        dx = jnp.einsum("btg,dg->btd", dgates, w_ih)
+    dw_ih = jnp.einsum("btd,btg->dg", x, dgates)
+    dx = jnp.einsum("btg,dg->btd", dgates, w_ih)
     db = jnp.sum(dgates, axis=(0, 1))
     return dw_ih, dw_hh, db, dx
 

@@ -103,7 +103,7 @@ def test_fused_backward_bf16_option_close_to_f32():
 
     params = lstm_layer_init(jax.random.key(7), 8, 16)
     x = jnp.asarray(np.random.default_rng(7).standard_normal((8, 16, 8)), jnp.float32)
-    gates, h_pad, c_pad, bt, tc, b_sz = _fused_pipeline_fwd(
+    _, (gates, h_pad, c_pad), _ = _fused_pipeline_fwd(
         params["w_ih"], params["w_hh"], params["b"], x, False)
     g = jnp.ones((8, 16, 16), jnp.float32)
     dg_f32, dw_f32 = lstm_recurrence_backward(
@@ -116,6 +116,53 @@ def test_fused_backward_bf16_option_close_to_f32():
                        np.asarray(dg_bf).ravel())[0, 1] > 0.995
     assert np.corrcoef(np.asarray(dw_f32).ravel(),
                        np.asarray(dw_bf).ravel())[0, 1] > 0.995
+
+
+@pytest.mark.parametrize("rev", [False, True])
+def test_fully_fused_amp_layer_grads_close_to_scan(rev):
+    """The bf16-policy path (in-kernel projection fwd, in-kernel dx/dW/db
+    bwd) matches scan autodiff to AMP tolerance, both directions."""
+    from eegflow.nn.pallas_lstm import lstm_layer_fused
+
+    params = lstm_layer_init(jax.random.key(9), 24, 16)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal((12, 32, 24)),
+                    jnp.float32)
+
+    out = np.asarray(lstm_layer_fused(params["w_ih"], params["w_hh"],
+                                      params["b"], x, rev, True))
+    ref = np.asarray(lstm_layer_apply(params, x, reverse=rev))
+    assert out.dtype == np.float32
+    assert np.max(np.abs(out - ref)) < 0.02
+
+    def loss_fused(p, x):
+        return jnp.sum(jnp.tanh(
+            lstm_layer_fused(p["w_ih"], p["w_hh"], p["b"], x, rev, True)))
+
+    def loss_scan(p, x):
+        return jnp.sum(jnp.tanh(lstm_layer_apply(p, x, reverse=rev)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    g_scan = jax.grad(loss_scan, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_scan)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-8)
+        assert rel < 0.02, rel
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_fully_fused_amp_layer_pads_batch():
+    from eegflow.nn.pallas_lstm import lstm_layer_fused
+
+    params = lstm_layer_init(jax.random.key(10), 8, 8)
+    x = jnp.asarray(np.random.default_rng(10).standard_normal((7, 16, 8)),
+                    jnp.float32)
+    out = lstm_layer_fused(params["w_ih"], params["w_hh"], params["b"], x,
+                           False, True)
+    assert out.shape == (7, 16, 8)
+    g = jax.grad(lambda w: jnp.sum(
+        lstm_layer_fused(w, params["w_hh"], params["b"], x, False, True)
+    ))(params["w_ih"])
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_fused_layer_grad_batch_96():

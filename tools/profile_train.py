@@ -3,7 +3,9 @@
 Usage: python tools/profile_train.py [scan|pallas ...] [--batch N] [--steps N]
 Prints per-impl device ms/step, windows/s, MFU, and top ops.
 """
-import argparse, sys, time
+import argparse, os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 def main():
