@@ -134,17 +134,38 @@ def bilstm_stack_apply(
     recurrence kernel (bit-exact, training-safe via custom_vjp).
     """
     if impl == "pallas":
-        from eegflow.nn.pallas_lstm import lstm_layer_fused
+        # Parts-based stack: a bidirectional layer's fwd/rev halves flow to
+        # the next layer as separate tensors (W_ih split row-wise in-kernel),
+        # so the inter-layer concatenate copies never exist in HBM.
+        from eegflow.nn.pallas_lstm import lstm_layer_fused_parts
 
         use_bf16 = compute_dtype == jnp.bfloat16
+        parts = (x,)
+        n = len(layers)
+        for idx, layer in enumerate(layers):
+            fwd = lstm_layer_fused_parts(
+                layer["fwd"]["w_ih"], layer["fwd"]["w_hh"], layer["fwd"]["b"],
+                parts, False, use_bf16)
+            if "bwd" in layer:
+                bwd = lstm_layer_fused_parts(
+                    layer["bwd"]["w_ih"], layer["bwd"]["w_hh"],
+                    layer["bwd"]["b"], parts, True, use_bf16)
+                parts = (fwd, bwd)
+            else:
+                parts = (fwd,)
+            if idx < n - 1 and inter_dropout > 0.0 and train:
+                key = (jax.random.fold_in(dropout_key, idx)
+                       if dropout_key is not None else None)
+                parts = tuple(
+                    dropout(p, inter_dropout,
+                            jax.random.fold_in(key, j) if key is not None
+                            else None, train)
+                    for j, p in enumerate(parts))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
-        def run_dir(p, data, reverse):
-            return lstm_layer_fused(p["w_ih"], p["w_hh"], p["b"], data, reverse,
-                                    use_bf16)
-    else:
-        def run_dir(p, data, reverse):
-            return lstm_layer_apply(p, data, reverse=reverse,
-                                    compute_dtype=compute_dtype)
+    def run_dir(p, data, reverse):
+        return lstm_layer_apply(p, data, reverse=reverse,
+                                compute_dtype=compute_dtype)
 
     out = x
     n = len(layers)

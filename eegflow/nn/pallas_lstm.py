@@ -280,26 +280,48 @@ def pallas_bilstm_stack_apply(
 # ---------------------------------------------------------------------------
 
 
-def _fwd_proj_kernel(x_ref, wih_ref, b_ref, whh_ref, h_out, c_out, z_out,
-                     h_sc, c_sc, *, t_chunk: int, hidden: int, reverse: bool):
+def _split_rows(w: jnp.ndarray, widths) -> list:
+    """Split (D, G) row-wise into blocks of the given widths (static)."""
+    out, off = [], 0
+    for wd in widths:
+        out.append(w[off : off + wd])
+        off += wd
+    return out
+
+
+def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
+                     n_parts: int):
     """One (batch_tile, time_chunk) grid step: project + recurrence, storing
     (h, c, z) f32 residuals. The projection matmuls are independent across
-    steps, so the MXU pipelines them behind the serial recurrence chain."""
+    steps, so the MXU pipelines them behind the serial recurrence chain.
+
+    The input arrives as ``n_parts`` separate refs (a bidirectional layer's
+    fwd/rev halves) with W_ih split row-wise to match — the halves are never
+    concatenated in HBM (the concat copies cost ~0.4 ms each on a v5e)."""
+    x_refs = refs[:n_parts]
+    wih_refs = refs[n_parts : 2 * n_parts]
+    (b_ref, whh_ref, h_out, c_out, z_out, hb_out, cb_out,
+     h_sc, c_sc) = refs[2 * n_parts :]
 
     @pl.when(pl.program_id(1) == 0)
     def _reset_state():
         h_sc[:] = jnp.zeros_like(h_sc)
         c_sc[:] = jnp.zeros_like(c_sc)
 
+    # chunk-boundary carries for the backward pass, written here so the
+    # adjoint never strided-slices the big (B, T, H) sequences (XLA lowers
+    # that to a full 134 MB layout-transposing copy per tensor at B=512)
+    hb_out[:] = h_sc[:]
+    cb_out[:] = c_sc[:]
+
     for s in range(t_chunk):  # unrolled: static sublane offsets
         i = t_chunk - 1 - s if reverse else s
-        z = (
-            jnp.dot(x_ref[:, i, :].astype(jnp.bfloat16), wih_ref[:],
-                    preferred_element_type=jnp.float32)
-            + b_ref[0:1, :]
-            + jnp.dot(h_sc[:].astype(jnp.bfloat16), whh_ref[:],
-                      preferred_element_type=jnp.float32)
-        )
+        z = b_ref[0:1, :] + jnp.dot(
+            h_sc[:].astype(jnp.bfloat16), whh_ref[:],
+            preferred_element_type=jnp.float32)
+        for p in range(n_parts):
+            z += jnp.dot(x_refs[p][:, i, :].astype(jnp.bfloat16), wih_refs[p][:],
+                         preferred_element_type=jnp.float32)
         gi = _sigmoid(z[:, :hidden])
         gf = _sigmoid(z[:, hidden : 2 * hidden])
         gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
@@ -317,7 +339,7 @@ def _fwd_proj_kernel(x_ref, wih_ref, b_ref, whh_ref, h_out, c_out, z_out,
     jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse")
 )
 def lstm_fwd_fused_proj(
-    x: jnp.ndarray,
+    xs,
     w_ih: jnp.ndarray,
     b: jnp.ndarray,
     w_hh: jnp.ndarray,
@@ -326,38 +348,55 @@ def lstm_fwd_fused_proj(
     interpret: bool = False,
     reverse: bool = False,
 ):
-    """(B, T, D) input -> f32 (h_seq, c_seq, z_seq); weights bf16-resident."""
-    bsz, t, d = x.shape
+    """Input parts (each (B, T, D_p), sum D_p = D) ->
+    f32 (h_seq, c_seq, z_seq, h_bound, c_bound).
+
+    Weights bf16-resident; W_ih is split row-wise to match the parts so a
+    bidirectional predecessor's halves are consumed without a concat. The
+    (B, n_chunks*H) boundary outputs record the carry at each chunk start
+    for the adjoint kernel."""
+    if isinstance(xs, jnp.ndarray):
+        xs = (xs,)
+    bsz, t, _ = xs[0].shape
     hidden = w_hh.shape[0]
     assert bsz % batch_tile == 0 and t % t_chunk == 0
     n_chunks = t // t_chunk
+    widths = [p.shape[-1] for p in xs]
+    w_parts = _split_rows(w_ih, widths)
 
     grid = (bsz // batch_tile, n_chunks)
     if reverse:
         seq_idx = lambda i, j: (i, n_chunks - 1 - j, 0)
+        bound_idx = lambda i, j: (i, n_chunks - 1 - j)
     else:
         seq_idx = lambda i, j: (i, j, 0)
+        bound_idx = lambda i, j: (i, j)
     blk = lambda width: pl.BlockSpec((batch_tile, t_chunk, width), seq_idx,
                                      memory_space=pltpu.VMEM)
     const = lambda a, b_: pl.BlockSpec((a, b_), lambda i, j: (0, 0),
                                        memory_space=pltpu.VMEM)
+    # boundary carries: (B, n_chunks*H) 2D (Mosaic-friendly lane blocking),
+    # column block k = the carry state when seq chunk k began
+    bound_spec = pl.BlockSpec((batch_tile, hidden), bound_idx,
+                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_fwd_proj_kernel, t_chunk=t_chunk,
-                               hidden=hidden, reverse=reverse)
+                               hidden=hidden, reverse=reverse,
+                               n_parts=len(xs))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            blk(d),
-            const(d, 4 * hidden),
-            const(1, 4 * hidden),
-            const(hidden, 4 * hidden),
-        ],
-        out_specs=(blk(hidden), blk(hidden), blk(4 * hidden)),
+        in_specs=[blk(w) for w in widths]
+        + [const(w, 4 * hidden) for w in widths]
+        + [const(1, 4 * hidden), const(hidden, 4 * hidden)],
+        out_specs=(blk(hidden), blk(hidden), blk(4 * hidden),
+                   bound_spec, bound_spec),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32),
             jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32),
             jax.ShapeDtypeStruct((bsz, t, 4 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # h
@@ -367,16 +406,25 @@ def lstm_fwd_fused_proj(
         # scoped-vmem limit; the v5e has 128 MB physical VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x.astype(jnp.float32), w_ih.astype(jnp.bfloat16),
+    )(*[p.astype(jnp.float32) for p in xs],
+      *[w.astype(jnp.bfloat16) for w in w_parts],
       b.reshape(1, -1).astype(jnp.float32), w_hh.astype(jnp.bfloat16))
 
 
-def _bwd_fused_kernel(z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref, x_ref,
-                      whh_t_ref, wih_t_ref,
-                      dx_ref, dwih_ref, dwhh_ref, db_ref, dh_sc, dc_sc,
-                      *, t_chunk: int, hidden: int, reverse: bool):
-    """Adjoint step producing dx and accumulating (dW_ih, dW_hh, db) into
-    VMEM-resident output blocks. Standard LSTM adjoint, gate order i,f,g,o."""
+def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
+                      n_parts: int):
+    """Adjoint step producing per-part dx and accumulating (dW_ih parts,
+    dW_hh, db) into VMEM-resident output blocks. Standard LSTM adjoint,
+    gate order i,f,g,o."""
+    z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = refs[:6]
+    x_refs = refs[6 : 6 + n_parts]
+    whh_t_ref = refs[6 + n_parts]
+    wih_t_refs = refs[7 + n_parts : 7 + 2 * n_parts]
+    o = 7 + 2 * n_parts
+    dx_refs = refs[o : o + n_parts]
+    dwih_refs = refs[o + n_parts : o + 2 * n_parts]
+    dwhh_ref, db_ref, dh_sc, dc_sc = refs[o + 2 * n_parts :]
+
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(pl.program_id(1) == 0)
@@ -386,7 +434,8 @@ def _bwd_fused_kernel(z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref, x_ref,
 
     @pl.when(first)
     def _zero_accumulators():
-        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        for dwih_ref in dwih_refs:
+            dwih_ref[:] = jnp.zeros_like(dwih_ref)
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
@@ -426,14 +475,15 @@ def _bwd_fused_kernel(z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref, x_ref,
             axis=-1,
         )
         dz16 = dz.astype(jnp.bfloat16)
-        dx_ref[:, i_t, :] = jnp.dot(dz16, wih_t_ref[:],
-                                    preferred_element_type=jnp.float32)
         dh_sc[:] = jnp.dot(dz16, whh_t_ref[:],
                            preferred_element_type=jnp.float32)
         # weight grads: contract over the batch tile (K = batch_tile)
-        dwih_ref[:] += jax.lax.dot_general(
-            x_ref[:, i_t, :].astype(jnp.bfloat16), dz16,
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        for p in range(n_parts):
+            dx_refs[p][:, i_t, :] = jnp.dot(
+                dz16, wih_t_refs[p][:], preferred_element_type=jnp.float32)
+            dwih_refs[p][:] += jax.lax.dot_general(
+                x_refs[p][:, i_t, :].astype(jnp.bfloat16), dz16,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dwhh_ref[:] += jax.lax.dot_general(
             h_prev.astype(jnp.bfloat16), dz16,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -447,7 +497,9 @@ def lstm_bwd_fused(
     z_seq: jnp.ndarray,
     c_seq: jnp.ndarray,
     h_seq: jnp.ndarray,
-    x: jnp.ndarray,
+    h_bound: jnp.ndarray,
+    c_bound: jnp.ndarray,
+    xs,
     g_out: jnp.ndarray,
     w_ih: jnp.ndarray,
     w_hh: jnp.ndarray,
@@ -456,37 +508,26 @@ def lstm_bwd_fused(
     interpret: bool = False,
     reverse: bool = False,
 ):
-    """f32 (z, c, h) residuals + input + upstream grad -> (dx, dw_ih, dw_hh, db).
+    """f32 (z, c, h) residuals + boundary carries + input parts + upstream
+    grad -> (dx parts, dw_ih, dw_hh, db).
 
-    The chunk-boundary "previous" states come from small strided side
-    tensors (zeros at the chain start); everything else reads the streamed
-    blocks at static offsets.
+    The chunk-boundary "previous" states are the (B, n_chunks*H) side
+    outputs the forward kernel recorded (column block k = carry when seq
+    chunk k began); everything else reads the streamed blocks at static
+    offsets.
     """
+    if isinstance(xs, jnp.ndarray):
+        xs = (xs,)
     bsz, t, g4 = z_seq.shape
     hidden = g4 // 4
-    d = x.shape[-1]
+    widths = [p.shape[-1] for p in xs]
+    w_parts = _split_rows(w_ih, widths)
     assert bsz % batch_tile == 0 and t % t_chunk == 0
     n_chunks = t // t_chunk
 
     z_seq = z_seq.astype(jnp.float32)
     c_seq = c_seq.astype(jnp.float32)
     h_seq = h_seq.astype(jnp.float32)
-    zeros_bound = jnp.zeros((bsz, 1, hidden), jnp.float32)
-    if reverse:
-        # forward consumed time newest-first: "previous" of chunk j's last
-        # element (index (j+1)*tc - 1) is state[(j+1)*tc]; last chunk -> zeros
-        c_bound = jnp.concatenate([c_seq[:, t_chunk::t_chunk], zeros_bound], 1)
-        h_bound = jnp.concatenate([h_seq[:, t_chunk::t_chunk], zeros_bound], 1)
-    else:
-        # "previous" of chunk j's first element (index j*tc) is state[j*tc-1]
-        c_bound = jnp.concatenate(
-            [zeros_bound, c_seq[:, t_chunk - 1 : -1 : t_chunk]], 1)
-        h_bound = jnp.concatenate(
-            [zeros_bound, h_seq[:, t_chunk - 1 : -1 : t_chunk]], 1)
-    # flatten (B, n_chunks, H) -> (B, n_chunks*H): Mosaic wants sublane dims
-    # divisible by 8 (or full), so block the lane dim instead
-    c_bound = c_bound.reshape(bsz, n_chunks * hidden)
-    h_bound = h_bound.reshape(bsz, n_chunks * hidden)
 
     if reverse:
         seq_idx = lambda i, j: (i, j, 0)                 # oldest-first
@@ -503,8 +544,10 @@ def lstm_bwd_fused(
                                        memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_bwd_fused_kernel, t_chunk=t_chunk,
-                               hidden=hidden, reverse=reverse)
-    dx, dw_ih, dw_hh, db = pl.pallas_call(
+                               hidden=hidden, reverse=reverse,
+                               n_parts=len(xs))
+    n_p = len(xs)
+    outs = pl.pallas_call(
         kernel,
         grid=(bsz // batch_tile, n_chunks),
         in_specs=[
@@ -514,17 +557,18 @@ def lstm_bwd_fused(
             blk(hidden),                                 # upstream grad
             blk(hidden),                                 # h
             bound_spec,                                  # h boundary
-            blk(d),                                      # x
-            const(g4, hidden),                           # W_hh^T (bf16)
-            const(g4, d),                                # W_ih^T (bf16)
-        ],
-        out_specs=(blk(d), const(d, g4), const(hidden, g4), const(1, g4)),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((d, g4), jnp.float32),
-            jax.ShapeDtypeStruct((hidden, g4), jnp.float32),
-            jax.ShapeDtypeStruct((1, g4), jnp.float32),
-        ),
+        ]
+        + [blk(w) for w in widths]                       # x parts
+        + [const(g4, hidden)]                            # W_hh^T (bf16)
+        + [const(g4, w) for w in widths],                # W_ih^T parts (bf16)
+        out_specs=tuple([blk(w) for w in widths]
+                        + [const(w, g4) for w in widths]
+                        + [const(hidden, g4), const(1, g4)]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((bsz, t, w), jnp.float32) for w in widths]
+            + [jax.ShapeDtypeStruct((w, g4), jnp.float32) for w in widths]
+            + [jax.ShapeDtypeStruct((hidden, g4), jnp.float32),
+               jax.ShapeDtypeStruct((1, g4), jnp.float32)]),
         scratch_shapes=[
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dh carry
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dc carry
@@ -533,10 +577,15 @@ def lstm_bwd_fused(
         interpret=interpret,
     )(
         z_seq, c_seq, c_bound, g_out.astype(jnp.float32), h_seq, h_bound,
-        x.astype(jnp.float32),
-        w_hh.astype(jnp.bfloat16).T, w_ih.astype(jnp.bfloat16).T,
+        *[p.astype(jnp.float32) for p in xs],
+        w_hh.astype(jnp.bfloat16).T,
+        *[w.astype(jnp.bfloat16).T for w in w_parts],
     )
-    return dx, dw_ih, dw_hh, db[0]
+    dxs = tuple(outs[:n_p])
+    dw_ih = (outs[n_p] if n_p == 1
+             else jnp.concatenate(outs[n_p : 2 * n_p], axis=0))
+    dw_hh, db = outs[2 * n_p], outs[2 * n_p + 1]
+    return dxs, dw_ih, dw_hh, db[0]
 
 
 # ---------------------------------------------------------------------------
@@ -737,27 +786,33 @@ _FUSED_BATCH_TILE = 128
 _FUSED_T_CHUNK = 8  # native f32 tile is (8, 128) sublanes x lanes
 
 
-def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16=False):
-    """Shared forward for the custom-VJP layer.
+def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False):
+    """Shared forward for the custom-VJP layer (``xs`` is a tuple of input
+    parts along the feature axis — a bidirectional predecessor's halves).
 
     Returns ``(h_pad, residuals, b_sz)``. Under bf16 (the AMP hot path) the
     in-kernel-projection forward runs and residuals are the f32 (h, c, z)
-    sequences plus the padded input; in f32 the gates einsum + recurrence
-    kernel run and residuals are (gates, h, c).
+    sequences plus the padded input parts; in f32 the gates einsum +
+    recurrence kernel run and residuals are (gates, h, c).
     """
-    b_sz, t, _ = x.shape
+    if isinstance(xs, jnp.ndarray):
+        xs = (xs,)
+    b_sz, t, _ = xs[0].shape
     bt = _pick_tile(b_sz, _FUSED_BATCH_TILE) if b_sz < _FUSED_BATCH_TILE \
         else _FUSED_BATCH_TILE
     pad_b = (-b_sz) % bt
     tc = _pick_tile(t, _FUSED_T_CHUNK)
     if bf16:
-        x_pad = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0))) if pad_b else x
-        h_pad, c_pad, z_pad = lstm_fwd_fused_proj(
-            x_pad, w_ih, b, w_hh, batch_tile=bt, t_chunk=tc,
+        xs_pad = tuple(
+            jnp.pad(p, ((0, pad_b), (0, 0), (0, 0))) if pad_b else p
+            for p in xs)
+        h_pad, c_pad, z_pad, h_bound, c_bound = lstm_fwd_fused_proj(
+            xs_pad, w_ih, b, w_hh, batch_tile=bt, t_chunk=tc,
             interpret=_auto_interpret(None), reverse=reverse,
         )
-        return h_pad, (h_pad, c_pad, z_pad, x_pad), b_sz
+        return h_pad, (h_pad, c_pad, z_pad, h_bound, c_bound, xs_pad), b_sz
 
+    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
     gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
     if pad_b:
         gates = jnp.pad(gates, ((0, pad_b), (0, 0), (0, 0)))
@@ -770,8 +825,12 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16=False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False, bf16: bool = False):
-    """LSTM layer with Pallas forward AND Pallas backward kernels.
+def lstm_layer_fused_parts(w_ih, w_hh, b, xs, reverse: bool = False,
+                           bf16: bool = False):
+    """LSTM layer with Pallas forward AND Pallas backward kernels, consuming
+    the input as a tuple of feature-axis parts (so a bidirectional
+    predecessor's fwd/rev halves never get concatenated in HBM; ``dx`` comes
+    back as matching parts).
 
     In f32, gradients match the pure ``lax.scan`` layer (the adjoint
     recursion is exact, tested to 1e-4). Under ``bf16`` the AMP policy
@@ -781,32 +840,34 @@ def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False, bf16: bool = False
     kernel section header), via the fully-fused kernels: in-kernel input
     projection forward, in-kernel dx/dW_ih/dW_hh/db backward.
     """
-    h_pad, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16)
+    h_pad, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16)
     return h_pad[:b_sz]
 
 
-def _fused_fwd(w_ih, w_hh, b, x, reverse, bf16):
-    h_pad, res, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, x, reverse, bf16)
-    return h_pad[:b_sz], (w_ih, w_hh, x) + res
+def _fused_fwd(w_ih, w_hh, b, xs, reverse, bf16):
+    h_pad, res, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16)
+    return h_pad[:b_sz], (w_ih, w_hh, xs) + res
 
 
 def _fused_bwd(reverse, bf16, residuals, g):
     if bf16:
-        w_ih, w_hh, x, h_pad, c_pad, z_pad, x_pad = residuals
-        b_sz = x.shape[0]
+        (w_ih, w_hh, xs, h_pad, c_pad, z_pad, h_bound, c_bound,
+         xs_pad) = residuals
+        b_sz = xs[0].shape[0]
         pad_b = z_pad.shape[0] - b_sz
         bt = _pick_tile(z_pad.shape[0], _FUSED_BATCH_TILE)
         tc = _pick_tile(z_pad.shape[1], _FUSED_T_CHUNK)
         g_in = jnp.pad(g, ((0, pad_b), (0, 0), (0, 0))) if pad_b else g
-        dx, dw_ih, dw_hh, db = lstm_bwd_fused(
-            z_pad, c_pad, h_pad, x_pad, g_in, w_ih, w_hh,
+        dxs, dw_ih, dw_hh, db = lstm_bwd_fused(
+            z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, g_in, w_ih, w_hh,
             batch_tile=bt, t_chunk=tc,
             interpret=_auto_interpret(None), reverse=reverse,
         )
-        return dw_ih, dw_hh, db, dx[:b_sz].astype(x.dtype)
+        return dw_ih, dw_hh, db, tuple(
+            dx[:b_sz].astype(p.dtype) for dx, p in zip(dxs, xs))
 
-    w_ih, w_hh, x, gates, h_pad, c_pad = residuals
-    b_sz = x.shape[0]
+    w_ih, w_hh, xs, gates, h_pad, c_pad = residuals
+    b_sz = xs[0].shape[0]
     pad_b = gates.shape[0] - b_sz
     # TPU tiling: the block's sublane dim (t_chunk) must divide by 8; the f32
     # backward kernel streams 5 sequence tensors so its batch tile is
@@ -824,10 +885,25 @@ def _fused_bwd(reverse, bf16, residuals, g):
         interpret=_auto_interpret(None), bf16=False, reverse=reverse,
     )
     dgates = dgates_pad[:b_sz]
+    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
     dw_ih = jnp.einsum("btd,btg->dg", x, dgates)
     dx = jnp.einsum("btg,dg->btd", dgates, w_ih)
     db = jnp.sum(dgates, axis=(0, 1))
-    return dw_ih, dw_hh, db, dx
+    if len(xs) == 1:
+        dxs = (dx,)
+    else:
+        off, dxs = 0, []
+        for p in xs:
+            dxs.append(dx[:, :, off : off + p.shape[-1]])
+            off += p.shape[-1]
+        dxs = tuple(dxs)
+    return dw_ih, dw_hh, db, dxs
 
 
-lstm_layer_fused.defvjp(_fused_fwd, _fused_bwd)
+lstm_layer_fused_parts.defvjp(_fused_fwd, _fused_bwd)
+
+
+def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False,
+                     bf16: bool = False):
+    """Single-input convenience wrapper over ``lstm_layer_fused_parts``."""
+    return lstm_layer_fused_parts(w_ih, w_hh, b, (x,), reverse, bf16)

@@ -150,6 +150,40 @@ def test_fully_fused_amp_layer_grads_close_to_scan(rev):
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
 
 
+@pytest.mark.parametrize("bf16", [True, False])
+def test_fused_layer_parts_match_concat_input(bf16):
+    """Feeding the input as two feature-axis parts (the bidirectional
+    inter-layer path that skips the HBM concat) gives the same output and
+    gradients as the concatenated single input."""
+    from eegflow.nn.pallas_lstm import lstm_layer_fused_parts
+
+    d1, d2, hid = 16, 8, 16
+    params = lstm_layer_init(jax.random.key(11), d1 + d2, hid)
+    rng = np.random.default_rng(11)
+    x1 = jnp.asarray(rng.standard_normal((8, 16, d1)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((8, 16, d2)), jnp.float32)
+    x = jnp.concatenate([x1, x2], axis=-1)
+
+    out_parts = lstm_layer_fused_parts(params["w_ih"], params["w_hh"],
+                                       params["b"], (x1, x2), False, bf16)
+    out_full = lstm_layer_fused_parts(params["w_ih"], params["w_hh"],
+                                      params["b"], (x,), False, bf16)
+    np.testing.assert_allclose(np.asarray(out_parts), np.asarray(out_full),
+                               atol=1e-5)
+
+    def loss(p, xs):
+        return jnp.sum(jnp.tanh(lstm_layer_fused_parts(
+            p["w_ih"], p["w_hh"], p["b"], xs, False, bf16)))
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, (x1, x2))
+    gp_full, gx_full = jax.grad(loss, argnums=(0, 1))(params, (x,))
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gp_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(gx, axis=-1)), np.asarray(gx_full[0]),
+        atol=1e-5)
+
+
 def test_fully_fused_amp_layer_pads_batch():
     from eegflow.nn.pallas_lstm import lstm_layer_fused
 
