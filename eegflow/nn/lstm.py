@@ -127,40 +127,80 @@ def bilstm_stack_apply(
     dropout_key: Optional[jax.Array] = None,
     compute_dtype=None,
     impl: str = "scan",
+    input_dropout: float = 0.0,
+    input_dropout_key: Optional[jax.Array] = None,
+    return_parts: bool = False,
 ) -> jnp.ndarray:
     """(B, T, D) -> (B, T, H*n_dir); inter-layer dropout like torch nn.LSTM.
 
     ``impl='pallas'`` routes each direction through the fused Pallas
     recurrence kernel (bit-exact, training-safe via custom_vjp).
+    ``input_dropout`` applies dropout to ``x`` itself — the pallas path
+    folds it into the first layer's kernels as a mask (the caller should
+    then NOT pre-drop ``x``); the scan path applies it here directly.
     """
+    if impl != "pallas" and input_dropout > 0.0 and train:
+        x = dropout(x, input_dropout, input_dropout_key, train)
     if impl == "pallas":
         # Parts-based stack: a bidirectional layer's fwd/rev halves flow to
         # the next layer as separate tensors (W_ih split row-wise in-kernel),
-        # so the inter-layer concatenate copies never exist in HBM.
-        from eegflow.nn.pallas_lstm import lstm_layer_fused_parts
+        # so the inter-layer concatenate copies never exist in HBM. Dropout
+        # (input and inter-layer) is passed as uint8 masks applied inside
+        # the kernels — the dropped tensors and their XLA select fusions
+        # never exist in HBM either. Masks come from jax.random, so they
+        # stay sharding-invariant.
+        from eegflow.nn.pallas_lstm import (_auto_interpret,
+                                            lstm_layer_fused_parts)
 
         use_bf16 = compute_dtype == jnp.bfloat16
+        # Compiled TPU + AMP: dropout masks come from the in-kernel hardware
+        # PRNG (seeded from the jax key's raw words — zero HBM traffic). In
+        # interpret mode (CPU tests, dry runs) the kernels instead take
+        # explicit uint8 masks drawn from the same keys via jax.random — the
+        # oracle path the PRNG path is structurally identical to.
+        use_prng = use_bf16 and not _auto_interpret(None)
+
+        def key_seed(key):
+            return jax.random.key_data(key).astype(jnp.uint32).view(
+                jnp.int32)[:2]
+
         parts = (x,)
+        masks, keep, seed = None, 1.0, None
+        if input_dropout > 0.0 and train and input_dropout_key is not None:
+            keep = 1.0 - input_dropout
+            if use_prng:
+                seed = key_seed(input_dropout_key)
+            else:
+                masks = (jax.random.bernoulli(
+                    input_dropout_key, keep, x.shape).astype(jnp.uint8),)
         n = len(layers)
         for idx, layer in enumerate(layers):
             fwd = lstm_layer_fused_parts(
                 layer["fwd"]["w_ih"], layer["fwd"]["w_hh"], layer["fwd"]["b"],
-                parts, False, use_bf16)
+                parts, False, use_bf16, masks, keep, seed)
             if "bwd" in layer:
                 bwd = lstm_layer_fused_parts(
                     layer["bwd"]["w_ih"], layer["bwd"]["w_hh"],
-                    layer["bwd"]["b"], parts, True, use_bf16)
+                    layer["bwd"]["b"], parts, True, use_bf16, masks, keep,
+                    seed)
                 parts = (fwd, bwd)
             else:
                 parts = (fwd,)
-            if idx < n - 1 and inter_dropout > 0.0 and train:
-                key = (jax.random.fold_in(dropout_key, idx)
-                       if dropout_key is not None else None)
-                parts = tuple(
-                    dropout(p, inter_dropout,
-                            jax.random.fold_in(key, j) if key is not None
-                            else None, train)
-                    for j, p in enumerate(parts))
+            if (idx < n - 1 and inter_dropout > 0.0 and train
+                    and dropout_key is not None):
+                key = jax.random.fold_in(dropout_key, idx)
+                keep = 1.0 - inter_dropout
+                if use_prng:
+                    masks, seed = None, key_seed(key)
+                else:
+                    seed = None
+                    masks = tuple(jax.random.bernoulli(
+                        jax.random.fold_in(key, j), keep, p.shape
+                    ).astype(jnp.uint8) for j, p in enumerate(parts))
+            else:
+                masks, keep, seed = None, 1.0, None
+        if return_parts:
+            return parts
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
     def run_dir(p, data, reverse):
@@ -179,4 +219,4 @@ def bilstm_stack_apply(
         if idx < n - 1 and inter_dropout > 0.0 and train:
             key = jax.random.fold_in(dropout_key, idx) if dropout_key is not None else None
             out = dropout(out, inter_dropout, key, train)
-    return out
+    return (out,) if return_parts else out

@@ -81,31 +81,42 @@ def classifier_apply(
     h = dense_apply(params["input_proj"], x, compute_dtype)
     h = layer_norm_apply(params["input_norm"], h)
     h = gelu(h)
-    h = dropout(h, d / 2, keys.get("inp"), train)
 
-    # BiLSTM stack with inter-layer dropout d (ref 04:181-188)
+    # BiLSTM stack with inter-layer dropout d (ref 04:181-188). The input
+    # dropout (d/2) is delegated to the stack: the pallas path folds it into
+    # the first layer's kernels as a uint8 mask / hardware-PRNG bits instead
+    # of materializing the dropped tensor in HBM.
+    use_fused_pool = lstm_impl == "pallas" and config.use_attention
     h = bilstm_stack_apply(
         params["lstm"], h, inter_dropout=d if config.num_layers > 1 else 0.0,
         train=train, dropout_key=keys.get("lstm"), compute_dtype=compute_dtype,
-        impl=lstm_impl,
+        impl=lstm_impl, input_dropout=d / 2,
+        input_dropout_key=keys.get("inp"), return_parts=use_fused_pool,
     )
 
-    if config.use_layer_norm:
-        h = layer_norm_apply(params["lstm_norm"], h)
+    if use_fused_pool:
+        # one kernel pair fuses LayerNorm + attention pooling over the parts
+        # (training-safe custom VJP; no (B, T, 2H) concat in HBM)
+        from eegflow.nn.pallas_attention import pool_head_fused
 
-    if config.use_attention:
-        if lstm_impl == "pallas" and not train:
-            # fused online-softmax pooling kernel (inference path; the
-            # training path keeps the XLA version for autodiff)
-            from eegflow.nn.pallas_attention import pallas_attention_apply
+        ctx_parts, raw_scores = pool_head_fused(
+            params.get("lstm_norm"), params["attention"], h,
+            use_ln=config.use_layer_norm,
+            bf16=compute_dtype == jnp.bfloat16)
+        context = (ctx_parts[0] if len(ctx_parts) == 1
+                   else jnp.concatenate(ctx_parts, axis=-1))
+        attn = jax.nn.softmax(raw_scores + params["attention"]["score"]["b"][0],
+                              axis=-1)
+    else:
+        if config.use_layer_norm:
+            h = layer_norm_apply(params["lstm_norm"], h)
 
-            context, attn = pallas_attention_apply(params["attention"], h)
-        else:
+        if config.use_attention:
             context, attn = additive_attention_apply(params["attention"], h,
                                                      compute_dtype)
-    else:
-        context = jnp.mean(h, axis=1)  # ablation fallback (ref 09:236-237)
-        attn = jnp.full(h.shape[:2], 1.0 / h.shape[1], h.dtype)
+        else:
+            context = jnp.mean(h, axis=1)  # ablation fallback (ref 09:236-237)
+            attn = jnp.full(h.shape[:2], 1.0 / h.shape[1], h.dtype)
 
     # classifier head (ref 04:196-204)
     z = gelu(dense_apply(params["head1"], context, compute_dtype))

@@ -39,6 +39,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -264,9 +265,11 @@ def pallas_bilstm_stack_apply(
 # * forward (`lstm_fwd_fused_proj`): the input projection x @ W_ih runs
 #   INSIDE the kernel (W_ih VMEM-resident), so the (B, T, 4H) input-gates
 #   tensor never exists in HBM — both the XLA einsum's write of it and the
-#   kernel's read of it are gone. The kernel stores the full pre-activation
-#   z = x@W_ih + b + h@W_hh as the backward residual along with (h, c).
-# * backward (`lstm_bwd_fused`): consumes (z, c, g, h, x) and produces dx,
+#   kernel's read of it are gone. The kernel stores the POST-activation
+#   gates (i,f,g,o) as the backward residual along with (h, c) and the
+#   chunk-boundary carries, so the adjoint is transcendental-free except
+#   one tanh(c).
+# * backward (`lstm_bwd_fused`): consumes (gates, c, g, h, x) and produces dx,
 #   dW_ih, dW_hh, db all in-kernel: dgates never touches HBM and the three
 #   large XLA einsums (dW_ih, dW_hh, dx) disappear. The weight-gradient
 #   blocks live VMEM-resident across the whole grid (constant index maps)
@@ -289,19 +292,68 @@ def _split_rows(w: jnp.ndarray, widths) -> list:
     return out
 
 
+def _masked(x, mask_ref, i, inv_keep: float):
+    """Apply an inverted-dropout mask block (uint8, 0=drop) to a time slice."""
+    return jnp.where(mask_ref[:, i, :] != 0, x * inv_keep, 0.0)
+
+
+#: seed-mixing constants (splitmix64/murmur finalizer multipliers, as int32)
+_MIX1 = np.int32(np.uint32(0x9E3779B9))
+_MIX2 = np.int32(np.uint32(0x85EBCA6B))
+_MIX3 = np.int32(np.uint32(0xC2B2AE35))
+
+
+def _keep_threshold(keep: float) -> np.uint32:
+    return np.uint32(min(int(keep * 2.0 ** 32), 2 ** 32 - 1))
+
+
+def _prng_block_masks(seed_ref, i_b, seq_chunk, n_parts, shapes):
+    """Generate per-part uint32 mask-bit blocks from the TPU hardware PRNG.
+
+    Seeded by (seed words, batch-tile index, seq chunk, part), so the
+    forward and backward kernels — whatever order their grids visit chunks
+    in — regenerate bit-identical masks for the same logical block. Masks
+    never exist in HBM, and uint32 compares are VPU-native (the uint8
+    mask-input path measured ~2x kernel slowdown from int8 lane unpacking).
+    """
+    out = []
+    for p in range(n_parts):
+        s0 = seed_ref[0] ^ (i_b * _MIX1) ^ np.int32((p + 1)) * _MIX2
+        s1 = seed_ref[1] ^ (seq_chunk * _MIX3)
+        pltpu.prng_seed(s0, s1)
+        out.append(pltpu.bitcast(pltpu.prng_random_bits(shapes[p]),
+                                 jnp.uint32))
+    return out
+
+
+def _prng_masked(x, bits, i, inv_keep: float, thresh):
+    """Apply inverted dropout from uint32 PRNG bits to a time slice."""
+    return jnp.where(bits[:, i, :] < thresh, x * inv_keep, 0.0)
+
+
 def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
-                     n_parts: int):
+                     n_parts: int, n_masks: int, keep: float,
+                     prng_dropout: bool, n_chunks: int):
     """One (batch_tile, time_chunk) grid step: project + recurrence, storing
-    (h, c, z) f32 residuals. The projection matmuls are independent across
+    (h, c, gates) f32 residuals. The projection matmuls are independent across
     steps, so the MXU pipelines them behind the serial recurrence chain.
 
     The input arrives as ``n_parts`` separate refs (a bidirectional layer's
     fwd/rev halves) with W_ih split row-wise to match — the halves are never
-    concatenated in HBM (the concat copies cost ~0.4 ms each on a v5e)."""
+    concatenated in HBM (the concat copies cost ~0.4 ms each on a v5e).
+    Dropout applies in-kernel, so the dropped tensor and its XLA select
+    fusion never exist in HBM: from the hardware PRNG when ``prng_dropout``
+    (compiled TPU path — see _prng_block_masks), else from optional uint8
+    mask inputs (``n_masks`` of them — the interpret-mode oracle path)."""
     x_refs = refs[:n_parts]
-    wih_refs = refs[n_parts : 2 * n_parts]
+    mask_refs = refs[n_parts : n_parts + n_masks]
+    o = n_parts + n_masks
+    if prng_dropout:
+        seed_ref = refs[o]
+        o += 1
+    wih_refs = refs[o : o + n_parts]
     (b_ref, whh_ref, h_out, c_out, z_out, hb_out, cb_out,
-     h_sc, c_sc) = refs[2 * n_parts :]
+     h_sc, c_sc) = refs[o + n_parts :]
 
     @pl.when(pl.program_id(1) == 0)
     def _reset_state():
@@ -314,13 +366,26 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     hb_out[:] = h_sc[:]
     cb_out[:] = c_sc[:]
 
+    inv_keep = 1.0 / keep
+    if prng_dropout:
+        j = pl.program_id(1)
+        seq_chunk = (n_chunks - 1 - j) if reverse else j
+        bits = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
+                                 n_parts, [r.shape for r in x_refs])
+        thresh = _keep_threshold(keep)
+
     for s in range(t_chunk):  # unrolled: static sublane offsets
         i = t_chunk - 1 - s if reverse else s
         z = b_ref[0:1, :] + jnp.dot(
             h_sc[:].astype(jnp.bfloat16), whh_ref[:],
             preferred_element_type=jnp.float32)
         for p in range(n_parts):
-            z += jnp.dot(x_refs[p][:, i, :].astype(jnp.bfloat16), wih_refs[p][:],
+            xv = x_refs[p][:, i, :]
+            if prng_dropout:
+                xv = _prng_masked(xv, bits[p], i, inv_keep, thresh)
+            elif n_masks:
+                xv = _masked(xv, mask_refs[p], i, inv_keep)
+            z += jnp.dot(xv.astype(jnp.bfloat16), wih_refs[p][:],
                          preferred_element_type=jnp.float32)
         gi = _sigmoid(z[:, :hidden])
         gf = _sigmoid(z[:, hidden : 2 * hidden])
@@ -332,34 +397,46 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         c_sc[:] = c_new
         h_out[:, i, :] = h_new
         c_out[:, i, :] = c_new
-        z_out[:, i, :] = z
+        # residual = the POST-activation gates, not z: the adjoint then needs
+        # only multiplies (gate'(z) in terms of the activation) + one tanh(c),
+        # instead of re-evaluating 4 transcendental passes per step
+        z_out[:, i, :] = jnp.concatenate([gi, gf, gg, go], axis=-1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse")
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse", "keep")
 )
 def lstm_fwd_fused_proj(
     xs,
     w_ih: jnp.ndarray,
     b: jnp.ndarray,
     w_hh: jnp.ndarray,
+    masks=None,
+    keep: float = 1.0,
+    dropout_seed=None,
     batch_tile: int = 128,
     t_chunk: int = 8,
     interpret: bool = False,
     reverse: bool = False,
 ):
     """Input parts (each (B, T, D_p), sum D_p = D) ->
-    f32 (h_seq, c_seq, z_seq, h_bound, c_bound).
+    f32 (h_seq, c_seq, gates_seq, h_bound, c_bound).
 
     Weights bf16-resident; W_ih is split row-wise to match the parts so a
     bidirectional predecessor's halves are consumed without a concat. The
     (B, n_chunks*H) boundary outputs record the carry at each chunk start
-    for the adjoint kernel."""
+    for the adjoint kernel. Dropout with rate ``1-keep`` applies to the
+    input in-kernel: from ``dropout_seed`` ((2,) int32, hardware PRNG —
+    compiled TPU only) or from ``masks`` (uint8 per part, 0=drop)."""
     if isinstance(xs, jnp.ndarray):
         xs = (xs,)
+    masks = tuple(masks) if masks else ()
+    prng = dropout_seed is not None
     bsz, t, _ = xs[0].shape
     hidden = w_hh.shape[0]
     assert bsz % batch_tile == 0 and t % t_chunk == 0
+    assert not masks or len(masks) == len(xs)
+    assert not (masks and prng)
     n_chunks = t // t_chunk
     widths = [p.shape[-1] for p in xs]
     w_parts = _split_rows(w_ih, widths)
@@ -382,11 +459,15 @@ def lstm_fwd_fused_proj(
 
     kernel = functools.partial(_fwd_proj_kernel, t_chunk=t_chunk,
                                hidden=hidden, reverse=reverse,
-                               n_parts=len(xs))
+                               n_parts=len(xs), n_masks=len(masks),
+                               keep=keep, prng_dropout=prng,
+                               n_chunks=n_chunks)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk(w) for w in widths]
+        + [blk(w) for w, _ in zip(widths, masks)]
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if prng else [])
         + [const(w, 4 * hidden) for w in widths]
         + [const(1, 4 * hidden), const(hidden, 4 * hidden)],
         out_specs=(blk(hidden), blk(hidden), blk(4 * hidden),
@@ -407,23 +488,42 @@ def lstm_fwd_fused_proj(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*[p.astype(jnp.float32) for p in xs],
+      *[m.astype(jnp.uint8) for m in masks],
+      *([jnp.asarray(dropout_seed, jnp.int32)] if prng else []),
       *[w.astype(jnp.bfloat16) for w in w_parts],
       b.reshape(1, -1).astype(jnp.float32), w_hh.astype(jnp.bfloat16))
 
 
 def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
-                      n_parts: int):
+                      n_parts: int, n_masks: int, keep: float,
+                      prng_dropout: bool, n_chunks: int):
     """Adjoint step producing per-part dx and accumulating (dW_ih parts,
     dW_hh, db) into VMEM-resident output blocks. Standard LSTM adjoint,
-    gate order i,f,g,o."""
+    gate order i,f,g,o. In-kernel dropout (PRNG seed or uint8 masks)
+    reproduces the forward's masks exactly: the weight gradients contract
+    against the masked input, and dx is masked on the way out."""
     z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = refs[:6]
     x_refs = refs[6 : 6 + n_parts]
-    whh_t_ref = refs[6 + n_parts]
-    wih_t_refs = refs[7 + n_parts : 7 + 2 * n_parts]
-    o = 7 + 2 * n_parts
+    mask_refs = refs[6 + n_parts : 6 + n_parts + n_masks]
+    o = 6 + n_parts + n_masks
+    if prng_dropout:
+        seed_ref = refs[o]
+        o += 1
+    whh_t_ref = refs[o]
+    wih_t_refs = refs[o + 1 : o + 1 + n_parts]
+    o = o + 1 + n_parts
     dx_refs = refs[o : o + n_parts]
     dwih_refs = refs[o + n_parts : o + 2 * n_parts]
     dwhh_ref, db_ref, dh_sc, dc_sc = refs[o + 2 * n_parts :]
+
+    inv_keep = 1.0 / keep
+    if prng_dropout:
+        j = pl.program_id(1)
+        # the adjoint grid visits chunks opposite to the forward direction
+        seq_chunk = j if reverse else (n_chunks - 1 - j)
+        bits = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
+                                 n_parts, [r.shape for r in x_refs])
+        thresh = _keep_threshold(keep)
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -454,11 +554,11 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         else:
             c_prev = c_ref[:, prev, :]
             h_prev = h_ref[:, prev, :]
-        z = z_ref[:, i_t, :]
-        gi = _sigmoid(z[:, :hidden])
-        gf = _sigmoid(z[:, hidden : 2 * hidden])
-        gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
-        go = _sigmoid(z[:, 3 * hidden :])
+        g_act = z_ref[:, i_t, :]  # post-activation gates saved by the forward
+        gi = g_act[:, :hidden]
+        gf = g_act[:, hidden : 2 * hidden]
+        gg = g_act[:, 2 * hidden : 3 * hidden]
+        go = g_act[:, 3 * hidden :]
         tc_ = jnp.tanh(c_ref[:, i_t, :])
 
         dh = g_ref[:, i_t, :] + dh_sc[:]
@@ -479,10 +579,18 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                            preferred_element_type=jnp.float32)
         # weight grads: contract over the batch tile (K = batch_tile)
         for p in range(n_parts):
-            dx_refs[p][:, i_t, :] = jnp.dot(
-                dz16, wih_t_refs[p][:], preferred_element_type=jnp.float32)
+            dxv = jnp.dot(dz16, wih_t_refs[p][:],
+                          preferred_element_type=jnp.float32)
+            xv = x_refs[p][:, i_t, :]
+            if prng_dropout:
+                dxv = _prng_masked(dxv, bits[p], i_t, inv_keep, thresh)
+                xv = _prng_masked(xv, bits[p], i_t, inv_keep, thresh)
+            elif n_masks:
+                dxv = _masked(dxv, mask_refs[p], i_t, inv_keep)
+                xv = _masked(xv, mask_refs[p], i_t, inv_keep)
+            dx_refs[p][:, i_t, :] = dxv
             dwih_refs[p][:] += jax.lax.dot_general(
-                x_refs[p][:, i_t, :].astype(jnp.bfloat16), dz16,
+                xv.astype(jnp.bfloat16), dz16,
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dwhh_ref[:] += jax.lax.dot_general(
             h_prev.astype(jnp.bfloat16), dz16,
@@ -491,7 +599,7 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse")
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse", "keep")
 )
 def lstm_bwd_fused(
     z_seq: jnp.ndarray,
@@ -503,21 +611,29 @@ def lstm_bwd_fused(
     g_out: jnp.ndarray,
     w_ih: jnp.ndarray,
     w_hh: jnp.ndarray,
+    masks=None,
+    keep: float = 1.0,
+    dropout_seed=None,
     batch_tile: int = 128,
     t_chunk: int = 8,
     interpret: bool = False,
     reverse: bool = False,
 ):
-    """f32 (z, c, h) residuals + boundary carries + input parts + upstream
-    grad -> (dx parts, dw_ih, dw_hh, db).
+    """f32 (gates, c, h) residuals + boundary carries + input parts +
+    upstream grad -> (dx parts, dw_ih, dw_hh, db).
 
     The chunk-boundary "previous" states are the (B, n_chunks*H) side
     outputs the forward kernel recorded (column block k = carry when seq
     chunk k began); everything else reads the streamed blocks at static
-    offsets.
+    offsets. ``masks``/``dropout_seed``/``keep`` must match the forward's
+    in-kernel dropout.
     """
     if isinstance(xs, jnp.ndarray):
         xs = (xs,)
+    masks = tuple(masks) if masks else ()
+    prng = dropout_seed is not None
+    assert not masks or len(masks) == len(xs)
+    assert not (masks and prng)
     bsz, t, g4 = z_seq.shape
     hidden = g4 // 4
     widths = [p.shape[-1] for p in xs]
@@ -545,13 +661,15 @@ def lstm_bwd_fused(
 
     kernel = functools.partial(_bwd_fused_kernel, t_chunk=t_chunk,
                                hidden=hidden, reverse=reverse,
-                               n_parts=len(xs))
+                               n_parts=len(xs), n_masks=len(masks),
+                               keep=keep, prng_dropout=prng,
+                               n_chunks=n_chunks)
     n_p = len(xs)
     outs = pl.pallas_call(
         kernel,
         grid=(bsz // batch_tile, n_chunks),
         in_specs=[
-            blk(g4),                                     # z
+            blk(g4),                                     # gates
             blk(hidden),                                 # c
             bound_spec,                                  # c boundary
             blk(hidden),                                 # upstream grad
@@ -559,6 +677,8 @@ def lstm_bwd_fused(
             bound_spec,                                  # h boundary
         ]
         + [blk(w) for w in widths]                       # x parts
+        + [blk(w) for w, _ in zip(widths, masks)]        # dropout masks
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if prng else [])
         + [const(g4, hidden)]                            # W_hh^T (bf16)
         + [const(g4, w) for w in widths],                # W_ih^T parts (bf16)
         out_specs=tuple([blk(w) for w in widths]
@@ -578,6 +698,8 @@ def lstm_bwd_fused(
     )(
         z_seq, c_seq, c_bound, g_out.astype(jnp.float32), h_seq, h_bound,
         *[p.astype(jnp.float32) for p in xs],
+        *[m.astype(jnp.uint8) for m in masks],
+        *([jnp.asarray(dropout_seed, jnp.int32)] if prng else []),
         w_hh.astype(jnp.bfloat16).T,
         *[w.astype(jnp.bfloat16).T for w in w_parts],
     )
@@ -786,17 +908,29 @@ _FUSED_BATCH_TILE = 128
 _FUSED_T_CHUNK = 8  # native f32 tile is (8, 128) sublanes x lanes
 
 
-def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False):
+def _apply_masks_xla(xs, masks, keep):
+    """Reference (non-kernel) application of the uint8 inverted-dropout
+    masks — used by the f32 fallback path and by tests as the oracle."""
+    if not masks:
+        return xs
+    inv = 1.0 / keep
+    return tuple(jnp.where(m != 0, p * inv, 0.0) for p, m in zip(xs, masks))
+
+
+def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False, masks=(),
+                        keep=1.0, seed=None):
     """Shared forward for the custom-VJP layer (``xs`` is a tuple of input
     parts along the feature axis — a bidirectional predecessor's halves).
 
     Returns ``(h_pad, residuals, b_sz)``. Under bf16 (the AMP hot path) the
-    in-kernel-projection forward runs and residuals are the f32 (h, c, z)
-    sequences plus the padded input parts; in f32 the gates einsum +
-    recurrence kernel run and residuals are (gates, h, c).
+    in-kernel-projection forward runs (with in-kernel dropout when ``masks``
+    are given) and residuals are the f32 (h, c, gates) sequences plus the
+    padded input parts and masks; in f32 the gates einsum + recurrence
+    kernel run and residuals are (gates, h, c).
     """
     if isinstance(xs, jnp.ndarray):
         xs = (xs,)
+    masks = tuple(masks) if masks else ()
     b_sz, t, _ = xs[0].shape
     bt = _pick_tile(b_sz, _FUSED_BATCH_TILE) if b_sz < _FUSED_BATCH_TILE \
         else _FUSED_BATCH_TILE
@@ -806,13 +940,19 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False):
         xs_pad = tuple(
             jnp.pad(p, ((0, pad_b), (0, 0), (0, 0))) if pad_b else p
             for p in xs)
+        masks_pad = tuple(
+            jnp.pad(m, ((0, pad_b), (0, 0), (0, 0))) if pad_b else m
+            for m in masks)
         h_pad, c_pad, z_pad, h_bound, c_bound = lstm_fwd_fused_proj(
-            xs_pad, w_ih, b, w_hh, batch_tile=bt, t_chunk=tc,
+            xs_pad, w_ih, b, w_hh, masks_pad, keep, seed,
+            batch_tile=bt, t_chunk=tc,
             interpret=_auto_interpret(None), reverse=reverse,
         )
-        return h_pad, (h_pad, c_pad, z_pad, h_bound, c_bound, xs_pad), b_sz
+        return h_pad, (h_pad, c_pad, z_pad, h_bound, c_bound, xs_pad,
+                       masks_pad), b_sz
 
-    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+    xs_eff = _apply_masks_xla(xs, masks, keep)
+    x = xs_eff[0] if len(xs_eff) == 1 else jnp.concatenate(xs_eff, axis=-1)
     gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
     if pad_b:
         gates = jnp.pad(gates, ((0, pad_b), (0, 0), (0, 0)))
@@ -824,35 +964,35 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False):
     return h_pad, (gates, h_pad, c_pad), b_sz
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def lstm_layer_fused_parts(w_ih, w_hh, b, xs, reverse: bool = False,
-                           bf16: bool = False):
-    """LSTM layer with Pallas forward AND Pallas backward kernels, consuming
-    the input as a tuple of feature-axis parts (so a bidirectional
-    predecessor's fwd/rev halves never get concatenated in HBM; ``dx`` comes
-    back as matching parts).
-
-    In f32, gradients match the pure ``lax.scan`` layer (the adjoint
-    recursion is exact, tested to 1e-4). Under ``bf16`` the AMP policy
-    applies: all matmuls (projection, recurrence, adjoint, weight-gradient)
-    run on the MXU in bf16 with f32 accumulation while every stream and
-    residual stays f32 (measured faster than bf16 storage — see the fused-
-    kernel section header), via the fully-fused kernels: in-kernel input
-    projection forward, in-kernel dx/dW_ih/dW_hh/db backward.
-    """
-    h_pad, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7))
+def _lstm_layer_fused_core(w_ih, w_hh, b, xs, reverse, bf16, masks, keep,
+                           seed):
+    h_pad, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16,
+                                         masks, keep, seed)
     return h_pad[:b_sz]
 
 
-def _fused_fwd(w_ih, w_hh, b, xs, reverse, bf16):
-    h_pad, res, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16)
-    return h_pad[:b_sz], (w_ih, w_hh, xs) + res
+def _fused_fwd(w_ih, w_hh, b, xs, reverse, bf16, masks, keep, seed):
+    h_pad, res, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16,
+                                           masks, keep, seed)
+    return h_pad[:b_sz], (w_ih, w_hh, xs, masks, seed) + res
 
 
-def _fused_bwd(reverse, bf16, residuals, g):
+def _mask_cotangents(masks):
+    """uint8/int32 primals take float0 cotangents (discarded by the grad
+    graph)."""
+    return tuple(np.zeros(m.shape, jax.dtypes.float0) for m in masks)
+
+
+def _seed_cotangent(seed):
+    return (None if seed is None
+            else np.zeros(jnp.shape(seed), jax.dtypes.float0))
+
+
+def _fused_bwd(reverse, bf16, keep, residuals, g):
     if bf16:
-        (w_ih, w_hh, xs, h_pad, c_pad, z_pad, h_bound, c_bound,
-         xs_pad) = residuals
+        (w_ih, w_hh, xs, masks, seed, h_pad, c_pad, z_pad, h_bound, c_bound,
+         xs_pad, masks_pad) = residuals
         b_sz = xs[0].shape[0]
         pad_b = z_pad.shape[0] - b_sz
         bt = _pick_tile(z_pad.shape[0], _FUSED_BATCH_TILE)
@@ -860,13 +1000,14 @@ def _fused_bwd(reverse, bf16, residuals, g):
         g_in = jnp.pad(g, ((0, pad_b), (0, 0), (0, 0))) if pad_b else g
         dxs, dw_ih, dw_hh, db = lstm_bwd_fused(
             z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, g_in, w_ih, w_hh,
-            batch_tile=bt, t_chunk=tc,
+            masks_pad, keep, seed, batch_tile=bt, t_chunk=tc,
             interpret=_auto_interpret(None), reverse=reverse,
         )
-        return dw_ih, dw_hh, db, tuple(
-            dx[:b_sz].astype(p.dtype) for dx, p in zip(dxs, xs))
+        return (dw_ih, dw_hh, db,
+                tuple(dx[:b_sz].astype(p.dtype) for dx, p in zip(dxs, xs)),
+                _mask_cotangents(masks), _seed_cotangent(seed))
 
-    w_ih, w_hh, xs, gates, h_pad, c_pad = residuals
+    w_ih, w_hh, xs, masks, seed, gates, h_pad, c_pad = residuals
     b_sz = xs[0].shape[0]
     pad_b = gates.shape[0] - b_sz
     # TPU tiling: the block's sublane dim (t_chunk) must divide by 8; the f32
@@ -885,7 +1026,8 @@ def _fused_bwd(reverse, bf16, residuals, g):
         interpret=_auto_interpret(None), bf16=False, reverse=reverse,
     )
     dgates = dgates_pad[:b_sz]
-    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+    xs_eff = _apply_masks_xla(xs, masks, keep)
+    x = xs_eff[0] if len(xs_eff) == 1 else jnp.concatenate(xs_eff, axis=-1)
     dw_ih = jnp.einsum("btd,btg->dg", x, dgates)
     dx = jnp.einsum("btg,dg->btd", dgates, w_ih)
     db = jnp.sum(dgates, axis=(0, 1))
@@ -897,10 +1039,39 @@ def _fused_bwd(reverse, bf16, residuals, g):
             dxs.append(dx[:, :, off : off + p.shape[-1]])
             off += p.shape[-1]
         dxs = tuple(dxs)
-    return dw_ih, dw_hh, db, dxs
+    dxs = _apply_masks_xla(dxs, masks, keep)
+    return dw_ih, dw_hh, db, dxs, _mask_cotangents(masks), _seed_cotangent(seed)
 
 
-lstm_layer_fused_parts.defvjp(_fused_fwd, _fused_bwd)
+_lstm_layer_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+def lstm_layer_fused_parts(w_ih, w_hh, b, xs, reverse: bool = False,
+                           bf16: bool = False, masks=None, keep: float = 1.0,
+                           dropout_seed=None):
+    """LSTM layer with Pallas forward AND Pallas backward kernels, consuming
+    the input as a tuple of feature-axis parts (so a bidirectional
+    predecessor's fwd/rev halves never get concatenated in HBM; ``dx`` comes
+    back as matching parts).
+
+    ``masks`` (optional, uint8 per part, 0=drop) applies inverted dropout
+    with rate ``1-keep`` to the input — in-kernel under bf16, so the masked
+    tensor and both its forward and backward XLA select fusions never exist
+    in HBM; via the XLA oracle path in f32.
+
+    In f32, gradients match the pure ``lax.scan`` layer (the adjoint
+    recursion is exact, tested to 1e-4). Under ``bf16`` the AMP policy
+    applies: all matmuls (projection, recurrence, adjoint, weight-gradient)
+    run on the MXU in bf16 with f32 accumulation while every stream and
+    residual stays f32 (measured faster than bf16 storage — see the fused-
+    kernel section header), via the fully-fused kernels: in-kernel input
+    projection forward, in-kernel dx/dW_ih/dW_hh/db backward.
+    """
+    masks = tuple(masks) if masks else ()
+    assert dropout_seed is None or (bf16 and not masks), \
+        "dropout_seed needs the bf16 fused-kernel path"
+    return _lstm_layer_fused_core(w_ih, w_hh, b, xs, reverse, bf16, masks,
+                                  float(keep), dropout_seed)
 
 
 def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False,

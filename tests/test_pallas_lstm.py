@@ -184,6 +184,67 @@ def test_fused_layer_parts_match_concat_input(bf16):
         atol=1e-5)
 
 
+@pytest.mark.parametrize("bf16", [True, False])
+def test_fused_layer_in_kernel_dropout_mask(bf16):
+    """The uint8 dropout masks applied inside the kernels equal explicitly
+    masking the input and running the plain layer (fwd and all grads)."""
+    from eegflow.nn.pallas_lstm import lstm_layer_fused_parts
+
+    d_in, hid, keep = 16, 16, 0.75
+    params = lstm_layer_init(jax.random.key(21), d_in, hid)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((8, 16, d_in)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, x.shape), jnp.uint8)
+    x_dropped = jnp.where(mask != 0, x / keep, 0.0)
+
+    out = lstm_layer_fused_parts(params["w_ih"], params["w_hh"], params["b"],
+                                 (x,), False, bf16, (mask,), keep)
+    ref = np.asarray(lstm_layer_apply(params, x_dropped))
+    tol = 0.02 if bf16 else 3e-4
+    assert np.max(np.abs(np.asarray(out) - ref)) < tol
+
+    def loss_fused(p, xs):
+        return jnp.sum(jnp.tanh(lstm_layer_fused_parts(
+            p["w_ih"], p["w_hh"], p["b"], xs, False, bf16, (mask,), keep)))
+
+    def loss_ref(p, xd):
+        return jnp.sum(jnp.tanh(lstm_layer_apply(p, xd)))
+
+    gp, (gx,) = jax.grad(loss_fused, argnums=(0, 1))(params, (x,))
+    gp_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x_dropped)
+    # chain rule: d/dx = mask/keep * d/dx_dropped
+    gx_ref = np.where(np.asarray(mask) != 0, np.asarray(gx_ref) / keep, 0.0)
+    rtol = 0.03 if bf16 else 2e-3
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gp_ref)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-8) < rtol
+    assert np.max(np.abs(np.asarray(gx) - gx_ref)) / (
+        np.max(np.abs(gx_ref)) + 1e-8) < rtol
+
+
+def test_pallas_stack_train_dropout_masks_finite():
+    """Stack-level smoke: pallas training path with input + inter-layer
+    dropout masks produces finite outputs and gradients."""
+    from eegflow.nn.lstm import bilstm_stack_init, bilstm_stack_apply
+
+    layers = bilstm_stack_init(jax.random.key(3), 12, 8, num_layers=2)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((8, 16, 12)),
+                    jnp.float32)
+
+    def loss(ls):
+        out = bilstm_stack_apply(
+            ls, x, inter_dropout=0.3, train=True,
+            dropout_key=jax.random.key(7), compute_dtype=jnp.bfloat16,
+            impl="pallas", input_dropout=0.15,
+            input_dropout_key=jax.random.key(8))
+        return jnp.sum(out ** 2)
+
+    val, grads = jax.value_and_grad(loss)(layers)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_fully_fused_amp_layer_pads_batch():
     from eegflow.nn.pallas_lstm import lstm_layer_fused
 
