@@ -154,34 +154,41 @@ def bilstm_stack_apply(
 
         use_bf16 = compute_dtype == jnp.bfloat16
         # Compiled TPU + AMP: dropout masks come from the in-kernel hardware
-        # PRNG (seeded from the jax key's raw words — zero HBM traffic). In
-        # interpret mode (CPU tests, dry runs) the kernels instead take
-        # explicit uint8 masks drawn from the same keys via jax.random — the
-        # oracle path the PRNG path is structurally identical to.
-        use_prng = use_bf16 and not _auto_interpret(None)
+        # PRNG (seeded from the jax key's raw words - zero HBM traffic).
+        # Elsewhere (CPU interpret mode, f32) dropout applies as plain XLA
+        # select fusions on the parts. The kernels' uint8-mask path is the
+        # oracle the PRNG path is validated against
+        # (tools/check_prng_dropout.py + the direct-call kernel tests).
+        import os as _os
+
+        # Default OFF: A/B device profiles at B=512 measured the XLA select
+        # fusions at ~7 ms/step but the in-kernel PRNG regeneration at
+        # ~10 ms/step (prng_random_bits is not free); set
+        # EEGFLOW_KERNEL_DROPOUT=1 to use the (validated) in-kernel path.
+        use_prng = (use_bf16 and not _auto_interpret(None)
+                    and _os.environ.get("EEGFLOW_KERNEL_DROPOUT", "0") == "1")
 
         def key_seed(key):
             return jax.random.key_data(key).astype(jnp.uint32).view(
                 jnp.int32)[:2]
 
         parts = (x,)
-        masks, keep, seed = None, 1.0, None
+        keep, seed = 1.0, None
         if input_dropout > 0.0 and train and input_dropout_key is not None:
-            keep = 1.0 - input_dropout
             if use_prng:
+                keep = 1.0 - input_dropout
                 seed = key_seed(input_dropout_key)
             else:
-                masks = (jax.random.bernoulli(
-                    input_dropout_key, keep, x.shape).astype(jnp.uint8),)
+                parts = (dropout(x, input_dropout, input_dropout_key, train),)
         n = len(layers)
         for idx, layer in enumerate(layers):
             fwd = lstm_layer_fused_parts(
                 layer["fwd"]["w_ih"], layer["fwd"]["w_hh"], layer["fwd"]["b"],
-                parts, False, use_bf16, masks, keep, seed)
+                parts, False, use_bf16, None, keep, seed)
             if "bwd" in layer:
                 bwd = lstm_layer_fused_parts(
                     layer["bwd"]["w_ih"], layer["bwd"]["w_hh"],
-                    layer["bwd"]["b"], parts, True, use_bf16, masks, keep,
+                    layer["bwd"]["b"], parts, True, use_bf16, None, keep,
                     seed)
                 parts = (fwd, bwd)
             else:
@@ -189,18 +196,16 @@ def bilstm_stack_apply(
             if (idx < n - 1 and inter_dropout > 0.0 and train
                     and dropout_key is not None):
                 key = jax.random.fold_in(dropout_key, idx)
-                keep = 1.0 - inter_dropout
                 if use_prng:
-                    masks, seed = None, key_seed(key)
+                    keep, seed = 1.0 - inter_dropout, key_seed(key)
                 else:
-                    seed = None
-                    masks = tuple(jax.random.bernoulli(
-                        jax.random.fold_in(key, j), keep, p.shape
-                    ).astype(jnp.uint8) for j, p in enumerate(parts))
+                    keep, seed = 1.0, None
+                    parts = tuple(
+                        dropout(p, inter_dropout, jax.random.fold_in(key, j),
+                                train)
+                        for j, p in enumerate(parts))
             else:
-                masks, keep, seed = None, 1.0, None
-        if return_parts:
-            return parts
+                keep, seed = 1.0, None
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
     def run_dir(p, data, reverse):

@@ -273,17 +273,22 @@ def _pool_head_bwd_kernel(*refs, t_chunk: int, n_parts: int, use_ln: bool,
         acc = t_ if acc is None else acc + t_
     proj = jnp.tanh(acc + b1_ref[0, :])             # (Bt*Tc, K)
 
-    w = w_ref[:]                                    # (Bt, Tc) softmax weights
+    # (B, T) tensors arrive chunk-major (n_chunks, B, Tc): a (Bt, Tc)-lane
+    # block of the flat layout would violate Mosaic's 128-lane rule
+    w = w_ref[0]                                    # (Bt, Tc) softmax weights
     gs = [g[:] for g in g_refs]                     # (Bt, Dp)
     # gy_t = g . y_t (concat row dot), via per-part partial sums
     gy = sum(jnp.sum(gs[p][:, None, :] * ys[p], axis=-1)
              for p in range(n_parts))               # (Bt, Tc)
-    ds = w * (gy - gctx_ref[:]) + gs_ref[:]         # (Bt, Tc)
+    ds = w * (gy - gctx_ref[:]) + gs_ref[0]         # (Bt, Tc)
 
-    u = (ds.reshape(bt * tc, 1) * (1.0 - proj * proj) * w2_ref[0, :])
-    u16 = u.astype(mm_dtype)                        # (Bt*Tc, K)
-    db1_acc[:] += jnp.sum(u, axis=0, keepdims=True)
-    dw2_acc[:] += jnp.sum(ds.reshape(bt * tc, 1) * proj, axis=0, keepdims=True)
+    # keep the lane (K) dim fixed through reshapes — Mosaic supports
+    # sublane splits/merges but not lane->sublane casts like (Bt,Tc)->(N,1)
+    proj3 = proj.reshape(bt, tc, proj.shape[-1])
+    u3 = ds[:, :, None] * (1.0 - proj3 * proj3) * w2_ref[0, :]
+    u16 = u3.reshape(bt * tc, u3.shape[-1]).astype(mm_dtype)  # (Bt*Tc, K)
+    db1_acc[:] += jnp.sum(u3, axis=(0, 1))[None]
+    dw2_acc[:] += jnp.sum(ds[:, :, None] * proj3, axis=(0, 1))[None]
 
     dys = []
     for p in range(n_parts):
@@ -352,6 +357,7 @@ def _pool_head_fwd_call(xs, gamma, beta, w1, b1, w2, use_ln, bf16,
             pltpu.VMEM((batch_tile, 1), jnp.float32),   # running denom
         ] + [pltpu.VMEM((batch_tile, w), jnp.float32) for w in widths]
         + [pltpu.VMEM((t // t_chunk, batch_tile, t_chunk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*[p.astype(jnp.float32) for p in xs],
       *([gamma.reshape(1, -1).astype(jnp.float32),
@@ -380,12 +386,18 @@ def _pool_head_bwd_call(xs, weights, g_scores, g_parts, gctx, gamma, beta,
     blk = lambda w: pl.BlockSpec((batch_tile, t_chunk, w),
                                  lambda i, j: (i, j, 0),
                                  memory_space=pltpu.VMEM)
-    tblk = pl.BlockSpec((batch_tile, t_chunk), lambda i, j: (i, j),
+    # (B, T) inputs go chunk-major (n_chunks, B, Tc): block (1, Bt, Tc) has
+    # its last dim equal to the array's (Mosaic lane rule); the reshape/
+    # transpose outside is over a tiny (B, T) tensor
+    tblk = pl.BlockSpec((1, batch_tile, t_chunk), lambda i, j: (j, i, 0),
                         memory_space=pltpu.VMEM)
     const = lambda a, b_: pl.BlockSpec((a, b_), lambda i, j: (0, 0),
                                        memory_space=pltpu.VMEM)
     row = lambda w: pl.BlockSpec((batch_tile, w), lambda i, j: (i, 0),
                                  memory_space=pltpu.VMEM)
+
+    def chunk_major(a):
+        return a.reshape(bsz, t // t_chunk, t_chunk).transpose(1, 0, 2)
 
     kernel = functools.partial(_pool_head_bwd_kernel, t_chunk=t_chunk,
                                n_parts=n_p, use_ln=use_ln, eps=1e-5,
@@ -411,9 +423,11 @@ def _pool_head_bwd_call(xs, weights, g_scores, g_parts, gctx, gamma, beta,
             + [jax.ShapeDtypeStruct((1, k), jnp.float32)] * 2
             + ([jax.ShapeDtypeStruct((1, d_total), jnp.float32)] * 2
                if use_ln else [])),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*[p.astype(jnp.float32) for p in xs],
-      weights.astype(jnp.float32), g_scores.astype(jnp.float32),
+      chunk_major(weights.astype(jnp.float32)),
+      chunk_major(g_scores.astype(jnp.float32)),
       *[g.astype(jnp.float32) for g in g_parts],
       gctx.astype(jnp.float32),
       *([gamma.reshape(1, -1).astype(jnp.float32),

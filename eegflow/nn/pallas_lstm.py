@@ -307,28 +307,35 @@ def _keep_threshold(keep: float) -> np.uint32:
     return np.uint32(min(int(keep * 2.0 ** 32), 2 ** 32 - 1))
 
 
-def _prng_block_masks(seed_ref, i_b, seq_chunk, n_parts, shapes):
-    """Generate per-part uint32 mask-bit blocks from the TPU hardware PRNG.
+def _prng_block_masks(seed_ref, i_b, seq_chunk, n_parts, shapes, keep: float):
+    """Generate per-part PRE-SCALED f32 mask blocks (0 or 1/keep) from the
+    TPU hardware PRNG.
 
     Seeded by (seed words, batch-tile index, seq chunk, part), so the
     forward and backward kernels — whatever order their grids visit chunks
     in — regenerate bit-identical masks for the same logical block. Masks
     never exist in HBM, and uint32 compares are VPU-native (the uint8
     mask-input path measured ~2x kernel slowdown from int8 lane unpacking).
+    The select happens ONCE per block here; the per-step application is a
+    plain multiply (keeps VPU work off the serial recurrence chain).
     """
+    thresh = _keep_threshold(keep)
+    inv_keep = 1.0 / keep
     out = []
     for p in range(n_parts):
-        s0 = seed_ref[0] ^ (i_b * _MIX1) ^ np.int32((p + 1)) * _MIX2
+        part_salt = np.uint32(((p + 1) * 0x85EBCA6B) % (1 << 32)).astype(
+            np.int32)
+        s0 = seed_ref[0] ^ (i_b * _MIX1) ^ part_salt
         s1 = seed_ref[1] ^ (seq_chunk * _MIX3)
         pltpu.prng_seed(s0, s1)
-        out.append(pltpu.bitcast(pltpu.prng_random_bits(shapes[p]),
-                                 jnp.uint32))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shapes[p]), jnp.uint32)
+        out.append(jnp.where(bits < thresh, inv_keep, 0.0))
     return out
 
 
-def _prng_masked(x, bits, i, inv_keep: float, thresh):
-    """Apply inverted dropout from uint32 PRNG bits to a time slice."""
-    return jnp.where(bits[:, i, :] < thresh, x * inv_keep, 0.0)
+def _prng_masked(x, maskv, i):
+    """Apply a pre-scaled f32 mask block to a time slice (one multiply)."""
+    return x * maskv[:, i, :]
 
 
 def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
@@ -370,9 +377,8 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     if prng_dropout:
         j = pl.program_id(1)
         seq_chunk = (n_chunks - 1 - j) if reverse else j
-        bits = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
-                                 n_parts, [r.shape for r in x_refs])
-        thresh = _keep_threshold(keep)
+        maskv = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
+                                  n_parts, [r.shape for r in x_refs], keep)
 
     for s in range(t_chunk):  # unrolled: static sublane offsets
         i = t_chunk - 1 - s if reverse else s
@@ -382,7 +388,7 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         for p in range(n_parts):
             xv = x_refs[p][:, i, :]
             if prng_dropout:
-                xv = _prng_masked(xv, bits[p], i, inv_keep, thresh)
+                xv = _prng_masked(xv, maskv[p], i)
             elif n_masks:
                 xv = _masked(xv, mask_refs[p], i, inv_keep)
             z += jnp.dot(xv.astype(jnp.bfloat16), wih_refs[p][:],
@@ -521,9 +527,8 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         j = pl.program_id(1)
         # the adjoint grid visits chunks opposite to the forward direction
         seq_chunk = j if reverse else (n_chunks - 1 - j)
-        bits = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
-                                 n_parts, [r.shape for r in x_refs])
-        thresh = _keep_threshold(keep)
+        maskv = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
+                                  n_parts, [r.shape for r in x_refs], keep)
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -583,8 +588,8 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                           preferred_element_type=jnp.float32)
             xv = x_refs[p][:, i_t, :]
             if prng_dropout:
-                dxv = _prng_masked(dxv, bits[p], i_t, inv_keep, thresh)
-                xv = _prng_masked(xv, bits[p], i_t, inv_keep, thresh)
+                dxv = _prng_masked(dxv, maskv[p], i_t)
+                xv = _prng_masked(xv, maskv[p], i_t)
             elif n_masks:
                 dxv = _masked(dxv, mask_refs[p], i_t, inv_keep)
                 xv = _masked(xv, mask_refs[p], i_t, inv_keep)
