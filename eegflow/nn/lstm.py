@@ -150,6 +150,7 @@ def bilstm_stack_apply(
         # never exist in HBM either. Masks come from jax.random, so they
         # stay sharding-invariant.
         from eegflow.nn.pallas_lstm import (_auto_interpret,
+                                            bilstm_layer_fused_parts,
                                             lstm_layer_fused_parts)
 
         use_bf16 = compute_dtype == jnp.bfloat16
@@ -182,17 +183,17 @@ def bilstm_stack_apply(
                 parts = (dropout(x, input_dropout, input_dropout_key, train),)
         n = len(layers)
         for idx, layer in enumerate(layers):
-            fwd = lstm_layer_fused_parts(
-                layer["fwd"]["w_ih"], layer["fwd"]["w_hh"], layer["fwd"]["b"],
-                parts, False, use_bf16, None, keep, seed)
             if "bwd" in layer:
-                bwd = lstm_layer_fused_parts(
-                    layer["bwd"]["w_ih"], layer["bwd"]["w_hh"],
-                    layer["bwd"]["b"], parts, True, use_bf16, None, keep,
+                # both directions under one custom VJP: their input
+                # cotangents sum inside the reverse backward kernel
+                parts = bilstm_layer_fused_parts(
+                    layer["fwd"], layer["bwd"], parts, use_bf16, None, keep,
                     seed)
-                parts = (fwd, bwd)
             else:
-                parts = (fwd,)
+                parts = (lstm_layer_fused_parts(
+                    layer["fwd"]["w_ih"], layer["fwd"]["w_hh"],
+                    layer["fwd"]["b"], parts, False, use_bf16, None, keep,
+                    seed),)
             if (idx < n - 1 and inter_dropout > 0.0 and train
                     and dropout_key is not None):
                 key = jax.random.fold_in(dropout_key, idx)

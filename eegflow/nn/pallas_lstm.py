@@ -502,12 +502,15 @@ def lstm_fwd_fused_proj(
 
 def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                       n_parts: int, n_masks: int, keep: float,
-                      prng_dropout: bool, n_chunks: int):
+                      prng_dropout: bool, n_chunks: int, n_dxadd: int = 0):
     """Adjoint step producing per-part dx and accumulating (dW_ih parts,
     dW_hh, db) into VMEM-resident output blocks. Standard LSTM adjoint,
     gate order i,f,g,o. In-kernel dropout (PRNG seed or uint8 masks)
     reproduces the forward's masks exactly: the weight gradients contract
-    against the masked input, and dx is masked on the way out."""
+    against the masked input, and dx is masked on the way out.
+    ``n_dxadd`` extra per-part inputs are added into dx on the way out (the
+    sibling direction's dx — fuses the XLA add of the two directions'
+    input cotangents)."""
     z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = refs[:6]
     x_refs = refs[6 : 6 + n_parts]
     mask_refs = refs[6 + n_parts : 6 + n_parts + n_masks]
@@ -515,6 +518,8 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     if prng_dropout:
         seed_ref = refs[o]
         o += 1
+    dxadd_refs = refs[o : o + n_dxadd]
+    o += n_dxadd
     whh_t_ref = refs[o]
     wih_t_refs = refs[o + 1 : o + 1 + n_parts]
     o = o + 1 + n_parts
@@ -593,6 +598,8 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
             elif n_masks:
                 dxv = _masked(dxv, mask_refs[p], i_t, inv_keep)
                 xv = _masked(xv, mask_refs[p], i_t, inv_keep)
+            if n_dxadd:
+                dxv = dxv + dxadd_refs[p][:, i_t, :]
             dx_refs[p][:, i_t, :] = dxv
             dwih_refs[p][:] += jax.lax.dot_general(
                 xv.astype(jnp.bfloat16), dz16,
@@ -619,6 +626,7 @@ def lstm_bwd_fused(
     masks=None,
     keep: float = 1.0,
     dropout_seed=None,
+    dx_add=None,
     batch_tile: int = 128,
     t_chunk: int = 8,
     interpret: bool = False,
@@ -631,13 +639,16 @@ def lstm_bwd_fused(
     outputs the forward kernel recorded (column block k = carry when seq
     chunk k began); everything else reads the streamed blocks at static
     offsets. ``masks``/``dropout_seed``/``keep`` must match the forward's
-    in-kernel dropout.
+    in-kernel dropout. ``dx_add`` (parts) is accumulated into dx in-kernel
+    (the sibling direction's input cotangents).
     """
     if isinstance(xs, jnp.ndarray):
         xs = (xs,)
     masks = tuple(masks) if masks else ()
+    dx_add = tuple(dx_add) if dx_add else ()
     prng = dropout_seed is not None
     assert not masks or len(masks) == len(xs)
+    assert not dx_add or len(dx_add) == len(xs)
     assert not (masks and prng)
     bsz, t, g4 = z_seq.shape
     hidden = g4 // 4
@@ -668,7 +679,7 @@ def lstm_bwd_fused(
                                hidden=hidden, reverse=reverse,
                                n_parts=len(xs), n_masks=len(masks),
                                keep=keep, prng_dropout=prng,
-                               n_chunks=n_chunks)
+                               n_chunks=n_chunks, n_dxadd=len(dx_add))
     n_p = len(xs)
     outs = pl.pallas_call(
         kernel,
@@ -684,6 +695,7 @@ def lstm_bwd_fused(
         + [blk(w) for w in widths]                       # x parts
         + [blk(w) for w, _ in zip(widths, masks)]        # dropout masks
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if prng else [])
+        + [blk(w) for w, _ in zip(widths, dx_add)]       # sibling dx to add
         + [const(g4, hidden)]                            # W_hh^T (bf16)
         + [const(g4, w) for w in widths],                # W_ih^T parts (bf16)
         out_specs=tuple([blk(w) for w in widths]
@@ -705,6 +717,7 @@ def lstm_bwd_fused(
         *[p.astype(jnp.float32) for p in xs],
         *[m.astype(jnp.uint8) for m in masks],
         *([jnp.asarray(dropout_seed, jnp.int32)] if prng else []),
+        *[d.astype(jnp.float32) for d in dx_add],
         w_hh.astype(jnp.bfloat16).T,
         *[w.astype(jnp.bfloat16).T for w in w_parts],
     )
@@ -1083,3 +1096,86 @@ def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False,
                      bf16: bool = False):
     """Single-input convenience wrapper over ``lstm_layer_fused_parts``."""
     return lstm_layer_fused_parts(w_ih, w_hh, b, (x,), reverse, bf16)
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional pair: both directions of a layer under ONE custom VJP, so
+# the two directions' input cotangents are summed INSIDE the second backward
+# kernel (dx_add) instead of by an XLA add over the full (B, T, D) parts
+# (measured 4 x 0.6 ms add_any ops per train step at B=512).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6))
+def _bilstm_layer_fused_core(pf, pb, xs, bf16, masks, seed, keep):
+    h_f, _, b_sz = _fused_pipeline_fwd(pf["w_ih"], pf["w_hh"], pf["b"], xs,
+                                       False, bf16, masks, keep, seed)
+    h_r, _, _ = _fused_pipeline_fwd(pb["w_ih"], pb["w_hh"], pb["b"], xs,
+                                    True, bf16, masks, keep, seed)
+    return h_f[:b_sz], h_r[:b_sz]
+
+
+def _bilstm_fwd(pf, pb, xs, bf16, masks, seed, keep):
+    h_f, res_f, b_sz = _fused_pipeline_fwd(pf["w_ih"], pf["w_hh"], pf["b"],
+                                           xs, False, bf16, masks, keep, seed)
+    h_r, res_r, _ = _fused_pipeline_fwd(pb["w_ih"], pb["w_hh"], pb["b"], xs,
+                                        True, bf16, masks, keep, seed)
+    return (h_f[:b_sz], h_r[:b_sz]), (pf, pb, xs, masks, seed, res_f, res_r)
+
+
+def _bilstm_bwd(bf16, keep, residuals, g):
+    pf, pb, xs, masks, seed, res_f, res_r = residuals
+    g_f, g_r = g
+    b_sz = xs[0].shape[0]
+
+    if bf16:
+        h_pad, c_pad, z_pad, h_bound, c_bound, xs_pad, masks_pad = res_f
+        pad_b = z_pad.shape[0] - b_sz
+        bt = _pick_tile(z_pad.shape[0], _FUSED_BATCH_TILE)
+        tc = _pick_tile(z_pad.shape[1], _FUSED_T_CHUNK)
+        pad = lambda gg: (jnp.pad(gg, ((0, pad_b), (0, 0), (0, 0)))
+                          if pad_b else gg)
+        dxs_f, dwih_f, dwhh_f, db_f = lstm_bwd_fused(
+            z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, pad(g_f),
+            pf["w_ih"], pf["w_hh"], masks_pad, keep, seed,
+            batch_tile=bt, t_chunk=tc, interpret=_auto_interpret(None),
+            reverse=False)
+        h_pad, c_pad, z_pad, h_bound, c_bound, xs_pad, masks_pad = res_r
+        dxs, dwih_b, dwhh_b, db_b = lstm_bwd_fused(
+            z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, pad(g_r),
+            pb["w_ih"], pb["w_hh"], masks_pad, keep, seed, dxs_f,
+            batch_tile=bt, t_chunk=tc, interpret=_auto_interpret(None),
+            reverse=True)
+        dxs = tuple(d[:b_sz].astype(p.dtype) for d, p in zip(dxs, xs))
+    else:
+        # f32 fallback: two single-direction VJPs + XLA add (cold path)
+        dwih_f, dwhh_f, db_f, dxs_f, _, _ = _fused_bwd(
+            False, bf16, keep, (pf["w_ih"], pf["w_hh"], xs, masks, seed)
+            + res_f, g_f)
+        dwih_b, dwhh_b, db_b, dxs_b, _, _ = _fused_bwd(
+            True, bf16, keep, (pb["w_ih"], pb["w_hh"], xs, masks, seed)
+            + res_r, g_r)
+        dxs = tuple(a + b for a, b in zip(dxs_f, dxs_b))
+
+    return ({"w_ih": dwih_f, "w_hh": dwhh_f, "b": db_f},
+            {"w_ih": dwih_b, "w_hh": dwhh_b, "b": db_b},
+            dxs, _mask_cotangents(masks), _seed_cotangent(seed))
+
+
+_bilstm_layer_fused_core.defvjp(_bilstm_fwd, _bilstm_bwd)
+
+
+def bilstm_layer_fused_parts(params_fwd, params_bwd, xs, bf16: bool = False,
+                             masks=None, keep: float = 1.0,
+                             dropout_seed=None):
+    """Both directions of a bidirectional layer under one custom VJP.
+
+    Returns ``(h_fwd, h_rev)`` parts; the input cotangent sum happens inside
+    the reverse direction's backward kernel (see section header).
+    """
+    if isinstance(xs, jnp.ndarray):
+        xs = (xs,)
+    masks = tuple(masks) if masks else ()
+    assert dropout_seed is None or (bf16 and not masks)
+    return _bilstm_layer_fused_core(params_fwd, params_bwd, tuple(xs), bf16,
+                                    masks, dropout_seed, float(keep))

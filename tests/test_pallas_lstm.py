@@ -280,3 +280,36 @@ def test_fused_layer_grad_batch_96():
     for k in params:
         np.testing.assert_allclose(np.asarray(g_fused[k]), np.asarray(g_scan[k]),
                                    atol=3e-4, rtol=3e-4)
+
+
+@pytest.mark.parametrize("bf16", [True, False])
+def test_bilstm_pair_matches_two_singles(bf16):
+    """The paired bidirectional custom VJP (dx summed in the second backward
+    kernel) matches two independent single-direction layers."""
+    from eegflow.nn.pallas_lstm import (bilstm_layer_fused_parts,
+                                       lstm_layer_fused_parts)
+
+    d1, d2, hid = 16, 8, 16
+    pf = lstm_layer_init(jax.random.key(41), d1 + d2, hid)
+    pb = lstm_layer_init(jax.random.key(42), d1 + d2, hid)
+    rng = np.random.default_rng(41)
+    xs = (jnp.asarray(rng.standard_normal((8, 16, d1)), jnp.float32),
+          jnp.asarray(rng.standard_normal((8, 16, d2)), jnp.float32))
+
+    def loss_pair(pf, pb, xs):
+        hf, hr = bilstm_layer_fused_parts(pf, pb, xs, bf16)
+        return jnp.sum(jnp.tanh(hf)) + jnp.sum(jnp.cos(hr))
+
+    def loss_single(pf, pb, xs):
+        hf = lstm_layer_fused_parts(pf["w_ih"], pf["w_hh"], pf["b"], xs,
+                                    False, bf16)
+        hr = lstm_layer_fused_parts(pb["w_ih"], pb["w_hh"], pb["b"], xs,
+                                    True, bf16)
+        return jnp.sum(jnp.tanh(hf)) + jnp.sum(jnp.cos(hr))
+
+    v1, g1 = jax.value_and_grad(loss_pair, argnums=(0, 1, 2))(pf, pb, xs)
+    v2, g2 = jax.value_and_grad(loss_single, argnums=(0, 1, 2))(pf, pb, xs)
+    assert abs(float(v1) - float(v2)) < 1e-4
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
