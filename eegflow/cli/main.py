@@ -228,6 +228,20 @@ def cmd_train(args):
         train_cfg = dataclasses.replace(train_cfg, epochs=args.epochs)
     model_cfg = dataclasses.replace(cfg.model, input_size=x_train.shape[2])
 
+    # Small-subject-count runs memorize their few training subjects (the
+    # reference never hits this: ds004148 has 60). Auto-enable the extra
+    # regularizers (within-class mixup + channel-dropout copies) below 12
+    # training subjects unless the config set them explicitly.
+    n_train_subj = len(meta.get("splits", {}).get("train", {})
+                       .get("subjects", [])) or None
+    if (n_train_subj is not None and n_train_subj < 12
+            and not train_cfg.aug_mixup
+            and train_cfg.aug_channel_dropout == 0.0):
+        train_cfg = dataclasses.replace(train_cfg, aug_mixup=True,
+                                        aug_channel_dropout=0.1)
+        print(f"{n_train_subj} training subjects < 12: enabling mixup + "
+              "channel-dropout regularizers")
+
     if train_cfg.augment:
         rng = np.random.default_rng(train_cfg.seed)
         x_train, y_train = augment_data(x_train, y_train, rng,
@@ -416,16 +430,24 @@ def cmd_explain(args):
     channel_names = (meta or {}).get("channel_names") or None
     x_test, y_test = arrays["X_test"], arrays["y_test"]
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     grad = gradient_channel_importance(params, model_cfg, x_test,
                                        channel_names=channel_names)
+    t1 = _time.perf_counter()
     perm = permutation_channel_importance(params, model_cfg, x_test, y_test,
                                           channel_names=channel_names,
                                           mesh=_maybe_mesh())
+    t2 = _time.perf_counter()
+    print(f"  gradient {t1 - t0:.0f}s | permutation {t2 - t1:.0f}s",
+          flush=True)
     methods = [grad, perm]
     if not args.skip_shap:
         shap_res = kernel_shap_channel_importance(
             params, model_cfg, x_test, channel_names=channel_names,
         )
+        print(f"  kernel-shap {_time.perf_counter() - t2:.0f}s", flush=True)
         np.save(paths["results"] / "shap_values.npy", shap_res["shap_values"])
         plot_shap_analysis(
             shap_res["shap_values"], shap_res["x_explain"],

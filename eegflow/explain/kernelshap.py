@@ -152,8 +152,12 @@ def kernel_shap_values(
     n_explain, c = x_explain.shape
     nb = background.shape[0]
 
-    phi0 = float(np.mean(f_batch(background)))
-    fx_all = np.asarray(f_batch(x_explain), np.float64)
+    def _materialize(out):
+        parts = out if isinstance(out, list) else [out]
+        return np.concatenate([np.asarray(p, np.float64) for p in parts])
+
+    phi0 = float(np.mean(_materialize(f_batch(background))))
+    fx_all = _materialize(f_batch(x_explain))
 
     if c <= 24 and 2**c - 2 <= nsamples:
         z, weights = _enumerate_coalitions(c)
@@ -164,26 +168,45 @@ def kernel_shap_values(
         weights = np.ones(len(z))
     m = len(z)
     sqrt_w = np.sqrt(weights)[:, None]
+    design = z[:, :-1] - z[:, -1:]
 
     shap_values = np.zeros((n_explain, c))
-    for i in range(n_explain):
-        x = x_explain[i]
-        # synthetic inputs: for each coalition, x where z=1 else background rows
-        synth = np.where(
-            z[:, None, :] > 0, x[None, None, :], background[None, :, :]
-        ).reshape(-1, c)  # (M*nb, C)
-        v = np.asarray(f_batch(synth), np.float64).reshape(m, nb).mean(axis=1)
 
+    def solve(i, v):
         fx = fx_all[i]
         # eliminate last feature via the sum constraint; weighted LSQ
         target = v - phi0 - z[:, -1] * (fx - phi0)
-        design = z[:, :-1] - z[:, -1:]
         coef, *_ = np.linalg.lstsq(design * sqrt_w, target * sqrt_w[:, 0],
                                    rcond=None)
         phi = np.empty(c)
         phi[:-1] = coef
         phi[-1] = (fx - phi0) - coef.sum()
         shap_values[i] = phi
+
+    # keep a few model evaluations in flight before forcing each result to
+    # host: jax's async dispatch then overlaps the accelerator round-trip
+    # latency with compute (the per-sample sync loop spent most of its wall
+    # time waiting on transport, not the device)
+    inflight: list = []
+
+    def drain(limit: int) -> None:
+        while len(inflight) > limit:
+            i0, pending = inflight.pop(0)
+            v = np.concatenate(
+                [np.asarray(p, np.float64) for p in pending]
+            ).reshape(m, nb).mean(axis=1)
+            solve(i0, v)
+
+    for i in range(n_explain):
+        x = x_explain[i]
+        # synthetic inputs: for each coalition, x where z=1 else background rows
+        synth = np.where(
+            z[:, None, :] > 0, x[None, None, :], background[None, :, :]
+        ).reshape(-1, c)  # (M*nb, C)
+        out = f_batch(synth)
+        inflight.append((i, out if isinstance(out, list) else [out]))
+        drain(4)
+    drain(0)
     return shap_values
 
 
@@ -230,7 +253,10 @@ def kernel_shap_channel_importance(
                                   compute_dtype=jnp.bfloat16)
         return jax.nn.softmax(logits, axis=-1)[:, 1]
 
-    def f_batch(feat_rows: np.ndarray) -> np.ndarray:
+    def f_batch(feat_rows: np.ndarray):
+        # returns a LIST of (still-device) chunk arrays: the caller keeps a
+        # few evaluations in flight and materializes them late, so the
+        # accelerator round-trip latency overlaps with compute
         out = []
         n = len(feat_rows)
         for i in range(0, n, batch_size):
@@ -240,9 +266,8 @@ def kernel_shap_channel_importance(
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - k, chunk.shape[1]), np.float32)]
                 )
-            probs = np.asarray(_rows_to_prob(params, jnp.asarray(chunk)))
-            out.append(probs[:k])
-        return np.concatenate(out)  # class-1 (eyes closed) probability
+            out.append(_rows_to_prob(params, jnp.asarray(chunk))[:k])
+        return out  # class-1 (eyes closed) probability chunks
 
     values = kernel_shap_values(f_batch, explain, background, nsamples, seed)
     importance = np.abs(values).mean(axis=0)

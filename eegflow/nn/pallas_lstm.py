@@ -922,8 +922,11 @@ def lstm_recurrence_backward(
 # ---------------------------------------------------------------------------
 
 
-_FUSED_BATCH_TILE = 128
-_FUSED_T_CHUNK = 8  # native f32 tile is (8, 128) sublanes x lanes
+import os as _os
+
+#: env-overridable for tile experiments (tools/profile_train.py A/Bs)
+_FUSED_BATCH_TILE = int(_os.environ.get("EEGFLOW_FUSED_BT", "128"))
+_FUSED_T_CHUNK = int(_os.environ.get("EEGFLOW_FUSED_TC", "8"))  # native f32 tile is (8, 128) sublanes x lanes
 
 
 def _apply_masks_xla(xs, masks, keep):

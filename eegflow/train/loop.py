@@ -48,12 +48,16 @@ def predict_probs(
     eval_step=None,
     lstm_impl: str = "scan",
     mesh=None,
-) -> np.ndarray:
+    lazy: bool = False,
+):
     """Batched inference -> (N, num_classes) probabilities.
 
     With ``mesh`` each padded batch is sharded over the mesh's data axis and
     the forward runs SPMD (params replicated) — results identical to the
-    single-device path.
+    single-device path. With ``lazy`` the per-batch DEVICE arrays come back
+    as ``[(device_probs, mask), ...]`` without forcing them to host — the
+    caller can keep several calls in flight so accelerator round-trip
+    latency overlaps with compute (materialize via ``materialize_probs``).
     """
     step = eval_step or make_eval_step(model_cfg, bf16=bf16, lstm_impl=lstm_impl)
     if mesh is not None:
@@ -67,9 +71,17 @@ def predict_probs(
         xb = jnp.asarray(xb)
         if mesh is not None:
             xb = shard_batch(xb, mesh)
-        probs = np.asarray(step(params, xb))
-        out.append(probs[mask])
-    return np.concatenate(out, axis=0) if out else np.empty((0, model_cfg.num_classes))
+        out.append((step(params, xb), mask))
+    if lazy:
+        return out
+    return materialize_probs(out, model_cfg.num_classes)
+
+
+def materialize_probs(lazy_out, num_classes: int) -> np.ndarray:
+    """Force a ``predict_probs(..., lazy=True)`` result to a host array."""
+    parts = [np.asarray(probs)[mask] for probs, mask in lazy_out]
+    return (np.concatenate(parts, axis=0) if parts
+            else np.empty((0, num_classes)))
 
 
 def train_classifier(
