@@ -237,10 +237,14 @@ def cmd_train(args):
     if (n_train_subj is not None and n_train_subj < 12
             and not train_cfg.aug_mixup
             and train_cfg.aug_channel_dropout == 0.0):
+        # MCC selection too: F1 early stopping on balanced data can lock
+        # onto an early all-positive epoch (F1 ~0.66 that nothing beats
+        # within patience)
         train_cfg = dataclasses.replace(train_cfg, aug_mixup=True,
-                                        aug_channel_dropout=0.1)
+                                        aug_channel_dropout=0.1,
+                                        selection_metric="mcc")
         print(f"{n_train_subj} training subjects < 12: enabling mixup + "
-              "channel-dropout regularizers")
+              "channel-dropout regularizers, MCC model selection")
 
     if train_cfg.augment:
         rng = np.random.default_rng(train_cfg.seed)

@@ -116,6 +116,10 @@ class TrainConfig:
     warmup_epochs: int = 5
     grad_clip: float = 1.0
     patience: int = 15                         # early stop on val F1
+    # model-selection metric: "f1" (reference parity, ref 04:572-584) or
+    # "mcc" (robust to the all-positive early-epoch F1 trap on balanced
+    # small-subject data)
+    selection_metric: str = "f1"
     seed: int = 42
     bf16: bool = True                          # TPU analogue of FP16 AMP
     augment: bool = True

@@ -205,7 +205,7 @@ def kernel_shap_values(
         ).reshape(-1, c)  # (M*nb, C)
         out = f_batch(synth)
         inflight.append((i, out if isinstance(out, list) else [out]))
-        drain(4)
+        drain(6)
     drain(0)
     return shap_values
 
@@ -250,7 +250,8 @@ def kernel_shap_channel_importance(
         # (B, C) feature rows cross the host->device boundary
         tiled = jnp.broadcast_to(rows[:, None, :], (rows.shape[0], t, rows.shape[1]))
         logits = classifier_apply(p, tiled, model_cfg, train=False,
-                                  compute_dtype=jnp.bfloat16)
+                                  compute_dtype=jnp.bfloat16,
+                                  lstm_impl="pallas")
         return jax.nn.softmax(logits, axis=-1)[:, 1]
 
     def f_batch(feat_rows: np.ndarray):

@@ -249,14 +249,26 @@ def train_classifier(
             ))
             (Path(checkpoint_dir) / "train_state.msgpack").write_bytes(snap)
 
-        # early stopping on val F1 (ref 04:572-584)
-        if val_f1 > best_f1:
-            best_f1 = val_f1
+        # early stopping on val F1 (ref 04:572-584); selection_metric="mcc"
+        # monitors val MCC instead — F1 selection on balanced data can lock
+        # onto an early all-positive epoch (F1 ~0.66 that nothing beats
+        # within patience), which MCC scores at 0
+        if train_cfg.selection_metric == "mcc":
+            from eegflow.analyze.evaluate import matthews_corrcoef as _mcc
+
+            val_sel = _mcc(y_val, val_pred) if len(y_val) else 0.0
+        else:
+            val_sel = val_f1
+        if val_sel > best_f1:
+            best_f1 = val_sel
             best_params = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
             no_improve = 0
         else:
             no_improve += 1
         if no_improve >= train_cfg.patience:
+            if verbose and train_cfg.selection_metric != "f1":
+                print(f"(model selection on val {train_cfg.selection_metric})",
+                      flush=True)
             if verbose:
                 print(f"Early stopping at epoch {epoch + 1} "
                       f"(no improvement for {train_cfg.patience} epochs)", flush=True)
