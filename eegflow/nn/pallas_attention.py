@@ -357,7 +357,7 @@ def _pool_head_fwd_call(xs, gamma, beta, w1, b1, w2, use_ln, bf16,
             pltpu.VMEM((batch_tile, 1), jnp.float32),   # running denom
         ] + [pltpu.VMEM((batch_tile, w), jnp.float32) for w in widths]
         + [pltpu.VMEM((t // t_chunk, batch_tile, t_chunk), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*[p.astype(jnp.float32) for p in xs],
       *([gamma.reshape(1, -1).astype(jnp.float32),
@@ -423,7 +423,7 @@ def _pool_head_bwd_call(xs, weights, g_scores, g_parts, gctx, gamma, beta,
             + [jax.ShapeDtypeStruct((1, k), jnp.float32)] * 2
             + ([jax.ShapeDtypeStruct((1, d_total), jnp.float32)] * 2
                if use_ln else [])),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*[p.astype(jnp.float32) for p in xs],
       chunk_major(weights.astype(jnp.float32)),

@@ -491,7 +491,7 @@ def lstm_fwd_fused_proj(
         ],
         # f32 blocks + double buffering exceed the compiler's 16 MB default
         # scoped-vmem limit; the v5e has 128 MB physical VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*[p.astype(jnp.float32) for p in xs],
       *[m.astype(jnp.uint8) for m in masks],
@@ -710,7 +710,7 @@ def lstm_bwd_fused(
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dh carry
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dc carry
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         z_seq, c_seq, c_bound, g_out.astype(jnp.float32), h_seq, h_bound,
