@@ -237,14 +237,10 @@ def cmd_train(args):
     if (n_train_subj is not None and n_train_subj < 12
             and not train_cfg.aug_mixup
             and train_cfg.aug_channel_dropout == 0.0):
-        # MCC selection too: F1 early stopping on balanced data can lock
-        # onto an early all-positive epoch (F1 ~0.66 that nothing beats
-        # within patience)
         train_cfg = dataclasses.replace(train_cfg, aug_mixup=True,
-                                        aug_channel_dropout=0.1,
-                                        selection_metric="mcc")
+                                        aug_channel_dropout=0.1)
         print(f"{n_train_subj} training subjects < 12: enabling mixup + "
-              "channel-dropout regularizers, MCC model selection")
+              "channel-dropout regularizers")
 
     if train_cfg.augment:
         rng = np.random.default_rng(train_cfg.seed)
@@ -674,10 +670,15 @@ def cmd_parity(args):
                   "network-dependent step) or --synthetic for a dry run")
             return 1
 
-    # bit-faithful preprocessing for the parity run (ref 02:114-131 filtfilt)
+    # bit-faithful preprocessing for the parity run (ref 02:114-131
+    # filtfilt); real-data parity also keeps the reference's exact val-F1
+    # model selection (ref 04:572-584) instead of the robust MCC default
     cfg = dataclasses.replace(
         cfg, preprocess=dataclasses.replace(cfg.preprocess,
                                             filter_method="filtfilt"))
+    if not synthetic:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, selection_metric="f1"))
     cfg_path = Path(args.output_dir) / "parity_config.json"
     cfg_path.parent.mkdir(parents=True, exist_ok=True)
     cfg.to_json(cfg_path)

@@ -116,10 +116,12 @@ class TrainConfig:
     warmup_epochs: int = 5
     grad_clip: float = 1.0
     patience: int = 15                         # early stop on val F1
-    # model-selection metric: "f1" (reference parity, ref 04:572-584) or
-    # "mcc" (robust to the all-positive early-epoch F1 trap on balanced
-    # small-subject data)
-    selection_metric: str = "f1"
+    # model-selection metric for early stopping. "mcc" (default) is robust
+    # to the all-positive early-epoch F1 trap on balanced data (an epoch-1
+    # degenerate classifier scores F1 ~0.67 that nothing beats within
+    # patience; MCC scores it 0). "f1" reproduces the reference exactly
+    # (ref 04:572-584) and is what the real-data parity runner uses.
+    selection_metric: str = "mcc"
     seed: int = 42
     bf16: bool = True                          # TPU analogue of FP16 AMP
     augment: bool = True
