@@ -173,14 +173,28 @@ def bilstm_stack_apply(
             return jax.random.key_data(key).astype(jnp.uint32).view(
                 jnp.int32)[:2]
 
+        def dropout_fwd_only(p, rate, key):
+            # forward = inverted dropout, backward = IDENTITY: the layer's
+            # mask_from_x recovers the mask from the dropped zeros and owns
+            # the backward (in-kernel), so the XLA dropout VJP must not also
+            # apply it (that would double-mask and double-scale)
+            d = dropout(p, rate, key, True)
+            return p + jax.lax.stop_gradient(d - p)
+
+        # In the (default) XLA-dropout mode the dropped parts feed the
+        # kernels directly and the BACKWARD mask is recovered in-kernel from
+        # the zeros of the dropped input (mask_from_x) — the XLA
+        # dropout-backward fusions (~4 ms/step at B=512) never exist.
         parts = (x,)
-        keep, seed = 1.0, None
+        keep, seed, from_x = 1.0, None, False
         if input_dropout > 0.0 and train and input_dropout_key is not None:
             if use_prng:
                 keep = 1.0 - input_dropout
                 seed = key_seed(input_dropout_key)
             else:
-                parts = (dropout(x, input_dropout, input_dropout_key, train),)
+                parts = (dropout_fwd_only(x, input_dropout,
+                                          input_dropout_key),)
+                keep, from_x = 1.0 - input_dropout, True
         n = len(layers)
         for idx, layer in enumerate(layers):
             if "bwd" in layer:
@@ -188,25 +202,26 @@ def bilstm_stack_apply(
                 # cotangents sum inside the reverse backward kernel
                 parts = bilstm_layer_fused_parts(
                     layer["fwd"], layer["bwd"], parts, use_bf16, None, keep,
-                    seed)
+                    seed, from_x)
             else:
                 parts = (lstm_layer_fused_parts(
                     layer["fwd"]["w_ih"], layer["fwd"]["w_hh"],
                     layer["fwd"]["b"], parts, False, use_bf16, None, keep,
-                    seed),)
+                    seed, from_x),)
             if (idx < n - 1 and inter_dropout > 0.0 and train
                     and dropout_key is not None):
                 key = jax.random.fold_in(dropout_key, idx)
                 if use_prng:
-                    keep, seed = 1.0 - inter_dropout, key_seed(key)
+                    keep, seed, from_x = 1.0 - inter_dropout, key_seed(key), False
                 else:
-                    keep, seed = 1.0, None
+                    seed = None
                     parts = tuple(
-                        dropout(p, inter_dropout, jax.random.fold_in(key, j),
-                                train)
+                        dropout_fwd_only(p, inter_dropout,
+                                         jax.random.fold_in(key, j))
                         for j, p in enumerate(parts))
+                    keep, from_x = 1.0 - inter_dropout, True
             else:
-                keep, seed = 1.0, None
+                keep, seed, from_x = 1.0, None, False
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
     def run_dir(p, data, reverse):

@@ -313,3 +313,89 @@ def test_bilstm_pair_matches_two_singles(bf16):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("bf16", [True, False])
+def test_mask_from_x_recovers_dropout_backward(bf16):
+    """With mask_from_x, feeding an already-dropped input recovers the full
+    inverted-dropout VJP (dx masked + rescaled in-kernel from x's zeros)."""
+    from eegflow.nn.pallas_lstm import lstm_layer_fused_parts
+
+    d_in, hid, keep = 12, 16, 0.75
+    params = lstm_layer_init(jax.random.key(51), d_in, hid)
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.standard_normal((8, 16, d_in)), jnp.float32)
+    mask = jnp.asarray(rng.random(x.shape) < keep, jnp.float32)
+    x_drop = x * mask / keep
+
+    def loss_fused(p, xds):
+        return jnp.sum(jnp.tanh(lstm_layer_fused_parts(
+            p["w_ih"], p["w_hh"], p["b"], xds, False, bf16, None, keep,
+            None, True)))
+
+    def loss_ref(p, xd):
+        return jnp.sum(jnp.tanh(lstm_layer_apply(p, xd)))
+
+    gp, (gx,) = jax.grad(loss_fused, argnums=(0, 1))(params, (x_drop,))
+    gp_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x_drop)
+    # chain rule through dropout: d/dx = mask/keep * d/dx_drop
+    gx_ref = np.asarray(gx_ref) * np.asarray(mask) / keep
+    rtol = 0.03 if bf16 else 2e-3
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gp_ref)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-8) < rtol
+    assert np.max(np.abs(np.asarray(gx) - gx_ref)) / (
+        np.max(np.abs(gx_ref)) + 1e-8) < rtol
+
+
+def test_stack_xla_dropout_grads_finite_and_masked():
+    """Stack-level: pallas + XLA dropout + mask_from_x produces finite grads
+    and the input gradient respects the input-dropout mask zeros."""
+    from eegflow.nn.lstm import bilstm_stack_apply, bilstm_stack_init
+
+    layers = bilstm_stack_init(jax.random.key(5), 12, 8, num_layers=2)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((8, 16, 12)),
+                    jnp.float32)
+
+    def loss(ls, x):
+        out = bilstm_stack_apply(
+            ls, x, inter_dropout=0.3, train=True,
+            dropout_key=jax.random.key(9), compute_dtype=jnp.bfloat16,
+            impl="pallas", input_dropout=0.2,
+            input_dropout_key=jax.random.key(10))
+        return jnp.sum(out ** 2)
+
+    val, (g_l, g_x) = jax.value_and_grad(loss, argnums=(0, 1))(layers, x)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(g_l):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # positions dropped by the input mask must have zero input-gradient
+    mask = np.asarray(jax.random.bernoulli(jax.random.key(10), 0.8, x.shape))
+    assert np.all(np.asarray(g_x)[~mask] == 0.0)
+
+
+def test_stack_input_dropout_grads_match_scan_exactly():
+    """1-layer bidirectional stack with input dropout: the pallas XLA-mode
+    path (forward-only dropout + in-kernel mask_from_x backward) must equal
+    the scan path's full autodiff — both draw the SAME mask from the same
+    key, so f32 grads must agree tightly. Catches double-masking."""
+    from eegflow.nn.lstm import bilstm_stack_apply, bilstm_stack_init
+
+    layers = bilstm_stack_init(jax.random.key(7), 10, 8, num_layers=1)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((8, 16, 10)),
+                    jnp.float32)
+    kw = dict(inter_dropout=0.0, train=True, dropout_key=jax.random.key(3),
+              input_dropout=0.25, input_dropout_key=jax.random.key(4))
+
+    def loss(ls, x, impl):
+        return jnp.sum(bilstm_stack_apply(ls, x, impl=impl, **kw) ** 2)
+
+    gp_l, gp_x = jax.grad(lambda l, xx: loss(l, xx, "pallas"),
+                          argnums=(0, 1))(layers, x)
+    gs_l, gs_x = jax.grad(lambda l, xx: loss(l, xx, "scan"),
+                          argnums=(0, 1))(layers, x)
+    for a, b in zip(jax.tree.leaves(gp_l), jax.tree.leaves(gs_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gs_x),
+                               atol=2e-3, rtol=2e-3)
