@@ -7,7 +7,7 @@ matmuls, weighted CE, grad clip, AdamW) at the reference's train batch size
 
 Prints ONE JSON line:
   {"metric": "windows_per_sec_per_chip", "value": N, "unit": "windows/s",
-   "vs_baseline": R, "mfu": M, "impl": ..., "timing": ...}
+   "vs_baseline": R, "mfu": M, "impl": ..., "timing": ..., "extras": {...}}
 
 TIMING IS DEVICE-SIDE, NOT WALL-CLOCK. The axon TPU tunnel in this
 environment reports wall times far above hardware peak for pure-XLA programs
@@ -19,6 +19,17 @@ model FLOPs (fwd+bwd ~= 3x forward matmul FLOPs) divided by peak*time; any
 measurement implying >100% of peak is refused and replaced by the
 FLOPs-bounded estimate with "timing": "implausible_clamped".
 
+STALL-PROOFING (the round-2 lesson: a single tunnel stall inside the trace
+loop starved the watchdog and the official record got 0.0):
+  * a value-fetch-bounded wall-clock estimate is recorded as the partial
+    result IMMEDIATELY after each impl's first compiled steps, before any
+    device trace is attempted — the watchdog always has something to emit;
+  * every device-trace loop runs under a deadline (no new iteration starts
+    past it) and a global time budget derived from the watchdog period;
+  * a failed or implausible trace falls back to the wall estimate instead of
+    discarding the impl;
+  * the iteration count adapts: slow first steps get short traces.
+
 vs_baseline: the reference publishes no throughput number (BASELINE.md —
 "printed at runtime, no published figure"). R is computed against a
 documented estimate of the reference's RTX 3090 training throughput of
@@ -26,6 +37,12 @@ documented estimate of the reference's RTX 3090 training throughput of
 arithmetic. The MFU field makes the claim falsifiable against chip physics:
 at 6.7 GFLOP/window fwd+bwd, one v5e (197 bf16 TFLOP/s peak) tops out at
 ~29,400 windows/s, i.e. vs_baseline ~14.7 at MFU 1.0.
+
+extras carries the secondary record so each round's BENCH json is
+self-contained (VERDICT r2 #7): per-impl train ms/step + MFU + timing kind,
+coupled-inference samples/s (stage-06 hot path, ref 06:308-406), and the
+eval-forward ms at the reference eval batch 1024 (the KernelSHAP unit of
+work, ref 07:420-447).
 """
 
 import json
@@ -43,7 +60,19 @@ REFERENCE_WINDOWS_PER_SEC_ESTIMATE = 2000.0
 #: the driver always receives the one JSON line with partial results)
 _PARTIAL = {"windows_per_sec": None, "mfu": None, "impl": None,
             "timing": "watchdog_partial"}
+_EXTRAS = {}
 WATCHDOG_SECONDS = float(os.environ.get("EEGFLOW_BENCH_WATCHDOG", "480"))
+#: wall seconds reserved for the final emit + interpreter teardown
+_SAFETY_S = 20.0
+_T_START = time.perf_counter()
+
+#: timing-kind trust order when picking the headline impl
+_KIND_RANK = {"device_trace": 3, "device_trace_partial": 3,
+              "wall_clock_fetch_bounded": 2, "implausible_clamped": 1}
+
+
+def _remaining():
+    return WATCHDOG_SECONDS - _SAFETY_S - (time.perf_counter() - _T_START)
 
 
 def _emit(windows_per_sec, mfu=None, impl=None, timing="device_trace"):
@@ -60,6 +89,8 @@ def _emit(windows_per_sec, mfu=None, impl=None, timing="device_trace"):
         payload["mfu"] = round(float(mfu), 4)
     if impl is not None:
         payload["impl"] = impl
+    if _EXTRAS:
+        payload["extras"] = _EXTRAS
     print(json.dumps(payload), flush=True)
 
 
@@ -75,13 +106,37 @@ def _watchdog():
     os._exit(0)
 
 
-def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=10):
-    """Device-trace timing of the train step; returns (seconds/step, timing_kind).
+def _note_partial(dt_step, kind, impl, batch, flops_step, peak, n_chips):
+    """Clamp an implausible timing to the FLOPs bound, record it as the
+    watchdog partial if it beats the current one, and return the
+    (possibly clamped) (dt_step, kind, mfu)."""
+    mfu = flops_step / dt_step / peak if peak else None
+    if mfu is not None and mfu > 1.0:
+        sys.stderr.write(
+            f"# train[{impl}]: implied MFU {mfu:.2f} > 1 — timing "
+            f"implausible, clamping to FLOPs bound\n")
+        dt_step = flops_step / peak
+        mfu, kind = 1.0, "implausible_clamped"
+    wps = batch / dt_step / n_chips
+    cur = _PARTIAL["windows_per_sec"]
+    cur_rank = _KIND_RANK.get(_PARTIAL["timing"], 0)
+    if cur is None or (_KIND_RANK.get(kind, 0), wps) >= (cur_rank, cur):
+        _PARTIAL.update(windows_per_sec=wps, mfu=mfu, impl=impl, timing=kind)
+    return dt_step, kind, mfu
 
-    Falls back to value-fetch-bounded wall clock when no trace can be parsed
-    (e.g. CPU-only environments without the xprof converter) — fetching the
-    loss value cannot complete before the computation has, so wall time until
-    the fetch is an upper bound that amortizes tunnel overhead over n_steps.
+
+def _time_train_steps(model_cfg, train_cfg, x, y, flops_step, peak, n_chips):
+    """Time the train step for one impl; returns (seconds/step, timing_kind).
+
+    Order of operations (each stage improves on — never replaces a better —
+    the recorded partial):
+      1. compile + first step (untimed);
+      2. 3-step value-fetch-bounded wall clock -> partial seeded. Fetching
+         the loss VALUE cannot complete before the computation has, so wall
+         time until the fetch is a true upper bound; an estimate implying
+         >peak is clamped (the tunnel artifact from round 1);
+      3. device trace under a deadline, iteration count adapted to the wall
+         estimate; one retry with 3 iterations if the trace parsed empty.
     """
     import jax
     import jax.numpy as jnp
@@ -90,11 +145,13 @@ def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=10):
     from eegflow.nn.model import classifier_init
     from eegflow.train.steps import TrainState, make_optimizer, make_train_step
 
+    impl = train_cfg.lstm_impl
     params = classifier_init(jax.random.key(0), model_cfg)
     tx = make_optimizer(train_cfg, updates_per_epoch=100)
     state_box = [TrainState(params, tx.init(params), jnp.asarray(0))]
     step = make_train_step(model_cfg, train_cfg, tx, donate=True)
     i_box = [0]
+    batch = x.shape[0]
 
     def run_one():
         i_box[0] += 1
@@ -108,16 +165,43 @@ def _time_train_steps(model_cfg, train_cfg, x, y, n_steps=10):
     sys.stderr.write(f"#   compiled+first step in {time.perf_counter() - t_c:.1f}s\n")
     sys.stderr.flush()
 
-    dt = device_time(run_one, iters=n_steps, warmup=2)
-    if dt is not None and dt.total_self_time_s > 0:
-        return dt.total_self_time_s / n_steps, "device_trace"
-
-    # fallback: wall clock bounded by a value fetch
+    # stage 2: cheap wall estimate -> the watchdog has a partial from here on
+    n_est = 3
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for _ in range(n_est):
         metrics = run_one()
     _ = float(metrics["loss"])  # forces real completion through the tunnel
-    return (time.perf_counter() - t0) / n_steps, "wall_clock_fetch_bounded"
+    wall_step = (time.perf_counter() - t0) / n_est
+    dt_best, kind, _ = _note_partial(
+        wall_step, "wall_clock_fetch_bounded", impl, batch,
+        flops_step, peak, n_chips)
+    sys.stderr.write(
+        f"#   wall estimate {wall_step * 1e3:.2f} ms/step ({kind})\n")
+    sys.stderr.flush()
+
+    # stage 3: device trace, bounded
+    budget = _remaining()
+    if budget < max(20.0, 6 * wall_step):
+        sys.stderr.write("#   skipping device trace (budget exhausted)\n")
+        return dt_best, kind
+    iters = 4 if wall_step > 1.0 else 8
+    for attempt, n in enumerate((iters, 3)):
+        dt = device_time(run_one, iters=n, warmup=1,
+                         deadline_s=min(budget * 0.5, 120.0))
+        if dt is not None and dt.total_self_time_s > 0 and dt.iters_done > 0:
+            trace_kind = ("device_trace" if dt.iters_done == n
+                          else "device_trace_partial")
+            dt_step, kind2, _ = _note_partial(
+                dt.total_self_time_s / dt.iters_done, trace_kind, impl,
+                batch, flops_step, peak, n_chips)
+            return dt_step, kind2
+        budget = _remaining()
+        if budget < 20.0:
+            break
+        sys.stderr.write(f"#   trace attempt {attempt + 1} parsed empty; "
+                         f"retrying smaller\n")
+        sys.stderr.flush()
+    return dt_best, kind
 
 
 def main():
@@ -133,7 +217,8 @@ def main():
     from eegflow.core.config import ModelConfig, TrainConfig
     from eegflow.core.profiling import TPU_V5E_BF16_PEAK_FLOPS, device_time
     from eegflow.couple.rollout import coupled_rollout
-    from eegflow.nn.model import classifier_init, model_flops_per_window
+    from eegflow.nn.model import (classifier_apply, classifier_init,
+                                  model_flops_per_window)
     from eegflow.ode import rates_to_array
     from eegflow.ode.field import DEFAULT_RATES
 
@@ -149,29 +234,27 @@ def main():
     y = jnp.asarray(rng.integers(0, 2, base_cfg.batch_size))
     flops_step = 3 * model_flops_per_window(model_cfg) * base_cfg.batch_size
 
-    # train-step throughput for both LSTM implementations; headline = best
+    # train-step throughput for both LSTM implementations; headline = best.
+    # scan goes first: it compiles faster, so the watchdog gets its first
+    # partial sooner (round-2 lesson — pallas-first + one stall = 0 recorded).
     results, timings, mfus = {}, {}, {}
-    for impl in ("pallas", "scan"):
+    for impl in ("scan", "pallas"):
+        if _remaining() < 45.0 and results:
+            sys.stderr.write(f"# skipping train[{impl}] (budget exhausted)\n")
+            continue
         cfg = dataclasses.replace(base_cfg, lstm_impl=impl)
         sys.stderr.write(f"# timing train[{impl}]...\n")
         sys.stderr.flush()
         try:
-            dt_step, kind = _time_train_steps(model_cfg, cfg, x, y)
+            dt_step, kind = _time_train_steps(
+                model_cfg, cfg, x, y, flops_step, peak, n_chips)
             mfu = flops_step / dt_step / peak if peak else None
-            if mfu is not None and mfu > 1.0:
-                # physically impossible measurement: refuse, clamp to the
-                # FLOPs-bounded estimate and flag it
-                sys.stderr.write(
-                    f"# train[{impl}]: implied MFU {mfu:.2f} > 1 — timing "
-                    f"implausible, clamping to FLOPs bound\n")
-                dt_step = flops_step / peak
-                mfu = 1.0
-                kind = "implausible_clamped"
             results[impl], timings[impl], mfus[impl] = dt_step, kind, mfu
             wps = base_cfg.batch_size / dt_step / n_chips
-            if _PARTIAL["windows_per_sec"] is None or wps > _PARTIAL["windows_per_sec"]:
-                _PARTIAL.update(windows_per_sec=wps, mfu=mfu, impl=impl,
-                                timing=kind)
+            _EXTRAS[f"{impl}_ms"] = round(dt_step * 1e3, 2)
+            _EXTRAS[f"{impl}_timing"] = kind
+            if mfu is not None:
+                _EXTRAS[f"{impl}_mfu"] = round(mfu, 4)
             sys.stderr.write(
                 f"# train[{impl}]: {dt_step * 1e3:.2f} ms/step device "
                 f"({wps:.0f} windows/s"
@@ -182,7 +265,11 @@ def main():
             sys.stderr.write(f"# train[{impl}] failed: {type(e).__name__}: {e}\n")
         sys.stderr.flush()
 
-    best_impl = min(results, key=results.get)
+    # headline: most-trustworthy timing kind first, then throughput
+    best_impl = min(
+        results,
+        key=lambda i: (-_KIND_RANK.get(timings[i], 0), results[i]),
+    )
     dt_step = results[best_impl]
     windows_per_sec = base_cfg.batch_size / dt_step / n_chips
 
@@ -190,6 +277,9 @@ def main():
     params = classifier_init(jax.random.key(0), model_cfg)
     k = rates_to_array(DEFAULT_RATES)
     for impl in results:
+        if _remaining() < 45.0:
+            sys.stderr.write("# skipping coupled inference (budget)\n")
+            break
         try:
             def roll():
                 out = coupled_rollout(params, x, k, model_cfg,
@@ -198,16 +288,39 @@ def main():
                 return out
 
             roll()
-            dt = device_time(roll, iters=10, warmup=1)
-            if dt is not None and dt.total_self_time_s > 0:
-                dt_inf = dt.total_self_time_s / 10
+            dt = device_time(roll, iters=6, warmup=1,
+                             deadline_s=min(_remaining() * 0.5, 60.0))
+            if dt is not None and dt.total_self_time_s > 0 and dt.iters_done:
+                dt_inf = dt.total_self_time_s / dt.iters_done
+                sps = base_cfg.batch_size / dt_inf
+                _EXTRAS[f"coupled_{impl}_samples_per_sec"] = round(sps, 1)
                 sys.stderr.write(
-                    f"# coupled inference[{impl}]: "
-                    f"{base_cfg.batch_size / dt_inf:.0f} samples/s/chip "
+                    f"# coupled inference[{impl}]: {sps:.0f} samples/s/chip "
                     f"({dt_inf * 1e3:.2f} ms/batch device)\n")
             sys.stderr.flush()
         except Exception as e:
             sys.stderr.write(f"# coupled inference[{impl}] failed: {e}\n")
+
+    # eval forward at the reference eval batch (KernelSHAP's unit of work)
+    if _remaining() > 45.0:
+        try:
+            xe = jnp.asarray(rng.standard_normal(
+                (1024, 256, model_cfg.input_size)), jnp.float32)
+
+            @jax.jit
+            def eval_fwd(p, xb):
+                return classifier_apply(p, xb, model_cfg,
+                                        compute_dtype=jnp.bfloat16)
+
+            jax.block_until_ready(eval_fwd(params, xe)[0])
+            dt = device_time(
+                lambda: jax.block_until_ready(eval_fwd(params, xe)[0]),
+                iters=6, warmup=1, deadline_s=min(_remaining() * 0.5, 60.0))
+            if dt is not None and dt.total_self_time_s > 0 and dt.iters_done:
+                _EXTRAS["eval_fwd_b1024_ms"] = round(
+                    dt.total_self_time_s / dt.iters_done * 1e3, 2)
+        except Exception as e:
+            sys.stderr.write(f"# eval forward timing failed: {e}\n")
 
     timer.cancel()
     _emit(windows_per_sec, mfus.get(best_impl), best_impl, timings[best_impl])

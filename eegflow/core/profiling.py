@@ -32,6 +32,10 @@ class DeviceTiming:
     by_category: Dict[str, float] = field(default_factory=dict)
     by_op: Dict[str, float] = field(default_factory=dict)
     n_ops: int = 0
+    #: iterations that actually ran inside the trace window (device_time may
+    #: stop early when its deadline expires; divide total by THIS, not by the
+    #: requested iteration count)
+    iters_done: int = 0
 
     def top_ops(self, n: int = 10):
         return sorted(self.by_op.items(), key=lambda kv: -kv[1])[:n]
@@ -85,19 +89,39 @@ def device_time(
     iters: int = 10,
     warmup: int = 2,
     trace_dir: Optional[str] = None,
+    deadline_s: Optional[float] = None,
 ) -> Optional[DeviceTiming]:
-    """Run ``fn`` ``iters`` times inside a profiler trace; return summed device
-    time (divide ``total_self_time_s`` by ``iters`` for per-call time).
+    """Run up to ``iters`` calls of ``fn`` inside a profiler trace; return the
+    summed device time (divide ``total_self_time_s`` by ``iters_done`` for the
+    per-call time).
 
     ``fn`` must block on its own result (call ``jax.block_until_ready``)
     so every iteration's execution lands inside the trace window.
+
+    ``deadline_s`` bounds the wall time spent inside the trace loop: once it
+    has elapsed, no further iterations are STARTED (a single in-flight call
+    that stalls cannot be interrupted from this thread — callers needing a
+    hard bound must pair this with a watchdog). At least one iteration always
+    runs so a result exists; ``iters_done`` records how many did.
     """
+    import time
+
     import jax
 
     for _ in range(warmup):
         fn()
+        if deadline_s is not None:
+            break  # under a deadline one warmup call is all we can afford
     d = trace_dir or tempfile.mkdtemp(prefix="eegflow_trace_")
+    n_done = 0
+    t0 = time.perf_counter()
     with jax.profiler.trace(d):
         for _ in range(iters):
             fn()
-    return parse_xplane_device_time(d)
+            n_done += 1
+            if deadline_s is not None and time.perf_counter() - t0 > deadline_s:
+                break
+    dt = parse_xplane_device_time(d)
+    if dt is not None:
+        dt.iters_done = n_done
+    return dt

@@ -22,7 +22,7 @@ from eegflow.ode import (
     transition_matrix,
 )
 from eegflow.ode.field import DEFAULT_RATES
-from eegflow.ode.integrate import rk4_solve_modulated
+from eegflow.ode.integrate import rk4_solve_modulated, solve_with_modulation
 
 RATES_CASES = [
     DEFAULT_RATES,
@@ -161,6 +161,83 @@ def test_mapping_heuristic_matches_reference_loop():
     np.testing.assert_array_equal(got, expected)
     assert props.shape[1] == 3
     np.testing.assert_allclose(props.sum(axis=1), 1.0, atol=1e-9)
+
+
+def _scipy_modulated_oracle(y0, t0, t1, n_points, base, mod_np):
+    """Loop oracle replicating CognitiveStateODE.solve_with_modulation
+    (ref 05_ode_model.py:188-196): odeint of the time-modulated system,
+    then clip + simplex renormalization."""
+    from scipy.integrate import odeint
+
+    names = ("k_ap", "k_af", "k_pa", "k_pf", "k_fa", "k_fp")
+
+    def rhs(y, t):
+        rates = mod_np(t, dict(base))
+        k = np.array([rates[n] for n in names])
+        a, p, f = np.maximum(y, 0.0)
+        return [
+            -k[0] * a - k[1] * a + k[2] * p + k[4] * f,
+            k[0] * a - k[2] * p - k[3] * p + k[5] * f,
+            k[1] * a + k[3] * p - k[4] * f - k[5] * f,
+        ]
+
+    t = np.linspace(t0, t1, n_points)
+    y0 = np.asarray(y0, np.float64)
+    sol = odeint(rhs, y0 / y0.sum(), t, rtol=1e-10, atol=1e-12)
+    sol = np.clip(sol, 0.0, 1.0)
+    return sol / sol.sum(axis=1, keepdims=True)
+
+
+def test_solve_with_modulation_smooth_scipy_oracle():
+    """Genuinely time-varying rates (ref 05:171-196): non-autonomous RK4 vs
+    the scipy odeint loop oracle at <=1e-5."""
+
+    def mod_jnp(t, p):
+        p["k_af"] = p["k_af"] * (1.0 + 0.8 * jnp.sin(0.4 * t))
+        p["k_fa"] = p["k_fa"] * (1.0 + 0.5 * jnp.cos(0.3 * t))
+        return p
+
+    def mod_np(t, p):
+        p["k_af"] = p["k_af"] * (1.0 + 0.8 * np.sin(0.4 * t))
+        p["k_fa"] = p["k_fa"] * (1.0 + 0.5 * np.cos(0.3 * t))
+        return p
+
+    t, sol = solve_with_modulation(
+        [0.33, 0.34, 0.33], (0.0, 20.0), mod_jnp, n_points=41,
+        method="rk4", substeps=32)
+    ref = _scipy_modulated_oracle(
+        [0.33, 0.34, 0.33], 0.0, 20.0, 41, DEFAULT_RATES, mod_np)
+    assert np.asarray(t).shape == (41,)
+    assert np.max(np.abs(np.asarray(sol) - ref)) < 1e-5
+
+
+def test_solve_with_modulation_expm_piecewise_exact():
+    """Piecewise-constant modulation aligned with the output grid: the
+    per-segment expm propagators are exact; oracle = scipy on each
+    constant-rate phase."""
+
+    def mod_jnp(t, p):
+        s = jnp.where(t < 10.0, 1.5, 0.75)
+        return {name: v * s for name, v in p.items()}
+
+    t, sol = solve_with_modulation(
+        [0.6, 0.2, 0.2], (0.0, 20.0), mod_jnp, n_points=41, method="expm")
+    hi = {n: 1.5 * v for n, v in DEFAULT_RATES.items()}
+    lo = {n: 0.75 * v for n, v in DEFAULT_RATES.items()}
+    first = scipy_reference([0.6, 0.2, 0.2], 0.0, 10.0, 21, hi)
+    second = scipy_reference(first[-1], 10.0, 20.0, 21, lo)
+    ref = np.concatenate([first, second[1:]], axis=0)
+    assert np.max(np.abs(np.asarray(sol) - ref)) < 1e-5
+
+
+def test_solve_with_modulation_constant_matches_solve():
+    """Identity modulation reduces to the plain reference-parity solve."""
+    t, sol = solve_with_modulation(
+        [0.33, 0.34, 0.33], (0.0, 20.0), lambda t, p: p, n_points=20,
+        method="expm")
+    _, plain = solve([0.33, 0.34, 0.33], (0.0, 20.0), 20,
+                     k=rates_to_array(DEFAULT_RATES), method="expm")
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(plain), atol=1e-6)
 
 
 def test_modulated_solve_constant_rates_matches_plain():

@@ -51,14 +51,15 @@ def main():
         dt = device_time(run, iters=args.steps, warmup=2)
         if dt is None:
             print(f"[{impl}] NO TRACE PARSED", flush=True); continue
-        step_s = dt.total_self_time_s / args.steps
+        n_done = dt.iters_done or args.steps
+        step_s = dt.total_self_time_s / n_done
         mfu = flops_step / step_s / TPU_V5E_BF16_PEAK_FLOPS
         print(f"[{impl}] device {step_s*1e3:.2f} ms/step | "
               f"{args.batch/step_s:,.0f} windows/s | MFU {mfu*100:.1f}%", flush=True)
         for cat, t in sorted(dt.by_category.items(), key=lambda kv: -kv[1])[:8]:
-            print(f"    cat {cat:<28} {t/args.steps*1e3:8.3f} ms/step", flush=True)
+            print(f"    cat {cat:<28} {t/n_done*1e3:8.3f} ms/step", flush=True)
         for op, t in dt.top_ops(int(__import__('os').environ.get('TOPOPS', '12'))):
-            print(f"    op  {op[:60]:<60} {t/args.steps*1e3:8.3f} ms/step", flush=True)
+            print(f"    op  {op[:60]:<60} {t/n_done*1e3:8.3f} ms/step", flush=True)
 
 if __name__ == "__main__":
     main()
