@@ -231,10 +231,13 @@ def cmd_train(args):
     # Small-subject-count runs memorize their few training subjects (the
     # reference never hits this: ds004148 has 60). Auto-enable the extra
     # regularizers (within-class mixup + channel-dropout copies) below 12
-    # training subjects unless the config set them explicitly.
+    # training subjects. An explicit aug_mixup=false/aug_channel_dropout=0.0
+    # is indistinguishable from the defaults, so deliberate ablations must
+    # opt out via auto_small_subject_reg=false.
     n_train_subj = len(meta.get("splits", {}).get("train", {})
                        .get("subjects", [])) or None
-    if (n_train_subj is not None and n_train_subj < 12
+    if (train_cfg.auto_small_subject_reg
+            and n_train_subj is not None and n_train_subj < 12
             and not train_cfg.aug_mixup
             and train_cfg.aug_channel_dropout == 0.0):
         train_cfg = dataclasses.replace(train_cfg, aug_mixup=True,
@@ -266,7 +269,9 @@ def cmd_train(args):
           f"({res.wall_time_s:.0f}s, {res.windows_per_sec:.0f} windows/s)")
 
     # test evaluation with attention capture
-    eval_attn = make_eval_step(model_cfg, bf16=train_cfg.bf16, return_attention=True)
+    eval_attn = make_eval_step(model_cfg, bf16=train_cfg.bf16,
+                               return_attention=True,
+                               lstm_impl=train_cfg.lstm_impl)
     import jax.numpy as jnp
 
     probs_list, attn_list = [], []

@@ -26,6 +26,7 @@ from typing import Optional
 import numpy as np
 
 from eegflow.couple.rollout import CoupledModel, predict_batch
+from eegflow.nn.lstm import resolve_lstm_impl
 
 
 class InferenceServer:
@@ -75,7 +76,7 @@ class InferenceServer:
                         "input_size": cfg.input_size,
                         "hidden_size": cfg.resolved_hidden(),
                         "num_layers": cfg.num_layers,
-                        "lstm_impl": server.model.lstm_impl,
+                        "lstm_impl": resolve_lstm_impl(server.model.lstm_impl),
                         "coupling_strength": server.model.coupling.coupling_strength,
                     }})
                 else:

@@ -132,11 +132,21 @@ class TrainConfig:
     # channel-dropout copy (see eegflow.train.data.augment_data)
     aug_mixup: bool = False
     aug_channel_dropout: float = 0.0
+    # the CLI auto-enables the two regularizers above on <12-subject runs;
+    # an explicit aug_mixup=false / aug_channel_dropout=0.0 in a config file
+    # is indistinguishable from the defaults, so ablations that must keep
+    # them off opt out of the auto-enable here
+    auto_small_subject_reg: bool = True
     weighted_sampling: bool = True
     data_axis: str = "data"                    # mesh axis name for DP
-    # "scan": XLA lax.scan recurrence; "pallas": fused VMEM-resident kernel
-    # (bit-exact, ~2.6x faster forward on v5e; backward via scan remat)
-    lstm_impl: str = "scan"
+    # LSTM implementation: "scan" (XLA lax.scan recurrence), "pallas" (fused
+    # VMEM-resident AMP kernels, bit-exact vs scan), or "auto" (default) —
+    # pallas on TPU, scan elsewhere. Evidence for the auto mapping:
+    # device-trace on v5e at B=512 measured pallas 41.8 ms/step vs scan
+    # 184.4 ms/step for training and 12.0 vs 67.3 ms/batch for coupled
+    # inference (BENCH_r03 / docs/ROUND3_RESULTS.md); on CPU the pallas
+    # kernels only run in interpret mode.
+    lstm_impl: str = "auto"
 
 
 @dataclass(frozen=True)

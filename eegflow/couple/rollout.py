@@ -33,7 +33,7 @@ class CoupledModel:
     model_cfg: ModelConfig
     k_base: jnp.ndarray  # (6,)
     coupling: CouplingConfig
-    lstm_impl: str = "scan"
+    lstm_impl: str = "auto"
 
 
 @functools.partial(

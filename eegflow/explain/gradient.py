@@ -30,7 +30,7 @@ def _batch_input_gradients(params, x: jnp.ndarray, model_cfg: ModelConfig) -> jn
     # measured ~12 min for 100 windows on a v5e (tiny-batch f32 matmuls);
     # the fused bf16 path runs it in seconds. Attributions are |grad|
     # channel aggregates — AMP noise is far below ranking resolution.
-    kw = dict(train=False, compute_dtype=jnp.bfloat16, lstm_impl="pallas")
+    kw = dict(train=False, compute_dtype=jnp.bfloat16, lstm_impl="auto")
     logits = classifier_apply(params, x, model_cfg, **kw)
     pred = jnp.argmax(logits, axis=-1)
 

@@ -103,6 +103,20 @@ def lstm_layer_apply(
     return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
 
 
+def resolve_lstm_impl(impl: Optional[str]) -> str:
+    """Resolve ``"auto"`` to the fastest implementation for the backend.
+
+    Evidence (device-trace, v5e, B=512/T=256/H=256x3 — BENCH_r03 /
+    docs/ROUND3_RESULTS.md): the fused pallas kernels run the train step in
+    41.8 ms vs 184.4 ms for the scan path (4.4x) and coupled inference 5.6x
+    faster, so TPU resolves to ``"pallas"``. Off-TPU the pallas kernels only
+    run in (slow) interpret mode, so everything else resolves to ``"scan"``.
+    """
+    if impl is not None and impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+
 def bilstm_stack_init(
     key: jax.Array, in_dim: int, hidden: int, num_layers: int, bidirectional: bool = True
 ) -> List[Dict[str, Dict[str, jnp.ndarray]]]:
@@ -134,11 +148,19 @@ def bilstm_stack_apply(
     """(B, T, D) -> (B, T, H*n_dir); inter-layer dropout like torch nn.LSTM.
 
     ``impl='pallas'`` routes each direction through the fused Pallas
-    recurrence kernel (bit-exact, training-safe via custom_vjp).
+    recurrence kernel (bit-exact, training-safe via custom_vjp);
+    ``impl='auto'`` resolves per backend (:func:`resolve_lstm_impl`).
     ``input_dropout`` applies dropout to ``x`` itself — the pallas path
     folds it into the first layer's kernels as a mask (the caller should
     then NOT pre-drop ``x``); the scan path applies it here directly.
+
+    ``return_parts=True`` returns a TUPLE of feature parts whose concat is
+    the stack output — on the pallas path a bidirectional final layer's
+    fwd/rev halves come back as two tensors so a fused pooling head
+    (``pool_head_fused``) can consume them without the (B, T, 2H) concat
+    ever existing in HBM; the scan path returns a 1-tuple.
     """
+    impl = resolve_lstm_impl(impl)
     if impl != "pallas" and input_dropout > 0.0 and train:
         x = dropout(x, input_dropout, input_dropout_key, train)
     if impl == "pallas":
@@ -222,6 +244,8 @@ def bilstm_stack_apply(
                     keep, from_x = 1.0 - inter_dropout, True
             else:
                 keep, seed, from_x = 1.0, None, False
+        if return_parts:
+            return parts
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
     def run_dir(p, data, reverse):

@@ -61,15 +61,20 @@ def classifier_apply(
     dropout_key: Optional[jax.Array] = None,
     return_attention: bool = False,
     compute_dtype=None,
-    lstm_impl: str = "scan",
+    lstm_impl: str = "auto",
 ) -> jnp.ndarray | Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, T, C) windows -> (B, num_classes) logits (+ attention (B, T)).
 
     ``compute_dtype=jnp.bfloat16`` runs all matmuls on the MXU in bf16 with
     f32 accumulation — the TPU analogue of the reference's FP16 autocast
     (ref 04:486-489). ``lstm_impl='pallas'`` uses the fused VMEM-resident
-    recurrence kernel (eegflow.nn.pallas_lstm).
+    recurrence kernel (eegflow.nn.pallas_lstm); ``'auto'`` (default) picks
+    pallas on TPU and scan elsewhere (see
+    eegflow.nn.lstm.resolve_lstm_impl for the measurement).
     """
+    from eegflow.nn.lstm import resolve_lstm_impl
+
+    lstm_impl = resolve_lstm_impl(lstm_impl)
     d = config.dropout
     keys = {}
     if train and dropout_key is not None:

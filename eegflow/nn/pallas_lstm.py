@@ -510,10 +510,19 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     reproduces the forward's masks exactly: the weight gradients contract
     against the masked input, and dx is masked on the way out.
     ``mask_from_x`` instead recovers the mask from the already-streamed
-    dropped input (x==0 exactly at dropped positions — measure-zero false
-    positives for continuous activations): dx ← where(x==0, 0, dx/keep).
-    This removes the XLA dropout-backward fusions (~4 ms/step at B=512)
-    with ZERO extra DMA. ``n_dxadd`` extra per-part inputs are added into
+    dropped input (x==0 exactly at dropped positions):
+    dx ← where(x==0, 0, dx/keep). This removes the XLA dropout-backward
+    fusions (~4 ms/step at B=512) with ZERO extra DMA. Documented
+    tradeoff: an UNDROPPED activation that is exactly 0.0 in f32 is
+    misclassified as dropped (its dx is zeroed and siblings scaled by
+    1/keep). The inputs here are gelu outputs (exactly 0.0 only when the
+    pre-activation underflows, below about -5.9 where gelu(x) rounds to
+    -0.0/0.0) and LSTM hidden states o*tanh(c) (exactly 0.0 when the
+    output-gate pre-activation sits below about -18 or c is 0). Both are
+    deep-saturation regimes that trained gates do not normally occupy;
+    the affected quantity is one input-gradient element, not the loss. If
+    saturated gates are ever observed, fall back to explicit uint8 masks
+    (``n_masks > 0`` path, validated by tools/check_prng_dropout.py). ``n_dxadd`` extra per-part inputs are added into
     dx on the way out (the sibling direction's dx — fuses the XLA add of
     the two directions' input cotangents)."""
     z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = refs[:6]

@@ -46,7 +46,7 @@ def predict_probs(
     batch_size: int = 1024,
     bf16: bool = True,
     eval_step=None,
-    lstm_impl: str = "scan",
+    lstm_impl: str = "auto",
     mesh=None,
     lazy: bool = False,
 ):
@@ -151,7 +151,9 @@ def train_classifier(
 
     lrs = lr_trace(train_cfg.learning_rate, train_cfg.epochs, train_cfg.warmup_epochs)
 
-    best_f1 = 0.0
+    # -inf, not 0: MCC ranges to -1, and with a 0 floor a run whose val MCC
+    # never exceeds 0 would return the untrained init weights after patience
+    best_score = float("-inf")
     best_params = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
     no_improve = 0
     epochs_run = 0
@@ -162,7 +164,11 @@ def train_classifier(
         resume_history, extra, ckpt_best_params = resume_payload
         for k in history:
             history[k] = list(resume_history.get(k, []))[:start_epoch]
-        best_f1 = float(extra.get("best_val_f1", 0.0))
+        # the stored best is only comparable if it was measured with the
+        # same selection metric; on mismatch (or an old checkpoint without
+        # the field) restart the comparison from -inf
+        if extra.get("selection_metric") == train_cfg.selection_metric:
+            best_score = float(extra.get("best_val_f1", float("-inf")))
         # the checkpoint stores the BEST params so far — restore them as the
         # early-stopping baseline (the train state holds the *current* params)
         best_params = jax.tree_util.tree_map(np.asarray, ckpt_best_params)
@@ -241,7 +247,8 @@ def train_classifier(
 
             save_checkpoint(checkpoint_dir, best_params, model_cfg,
                             history=history,
-                            extra={"epoch": epoch + 1, "best_val_f1": best_f1,
+                            extra={"epoch": epoch + 1, "best_val_f1": best_score,
+                                   "selection_metric": train_cfg.selection_metric,
                                    "step": int(state.step),
                                    "resumable": True})
             snap = serialization.to_bytes(jax_to_numpy(
@@ -259,8 +266,8 @@ def train_classifier(
             val_sel = _mcc(y_val, val_pred) if len(y_val) else 0.0
         else:
             val_sel = val_f1
-        if val_sel > best_f1:
-            best_f1 = val_sel
+        if val_sel > best_score:
+            best_score = val_sel
             best_params = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
             no_improve = 0
         else:
@@ -279,7 +286,7 @@ def train_classifier(
     return TrainResult(
         params=best_params,
         history=history,
-        best_val_f1=best_f1,
+        best_val_f1=best_score if np.isfinite(best_score) else 0.0,
         epochs_run=epochs_run,
         wall_time_s=wall,
         windows_per_sec=wps,

@@ -101,7 +101,7 @@ def make_eval_step(
     model_cfg: ModelConfig,
     bf16: bool = True,
     return_attention: bool = False,
-    lstm_impl: str = "scan",
+    lstm_impl: str = "auto",
 ) -> Callable:
     """Build ``eval(params, x) -> (probs[, attention])`` under jit (ref 06:334-365)."""
     compute_dtype = jnp.bfloat16 if bf16 else None
