@@ -419,7 +419,7 @@ def cmd_integrate(args):
 
 def cmd_explain(args):
     from eegflow.explain import (
-        analyze_attention_patterns, analyze_ode_dynamics,
+        analyze_attention_patterns, analyze_ode_dynamics, build_summary,
         compare_importance_methods, gradient_channel_importance,
         kernel_shap_channel_importance, permutation_channel_importance,
     )
@@ -448,6 +448,7 @@ def cmd_explain(args):
     print(f"  gradient {t1 - t0:.0f}s | permutation {t2 - t1:.0f}s",
           flush=True)
     methods = [grad, perm]
+    shap_light = None
     if not args.skip_shap:
         shap_res = kernel_shap_channel_importance(
             params, model_cfg, x_test, channel_names=channel_names,
@@ -459,8 +460,9 @@ def cmd_explain(args):
             shap_res["channels"], paths["figures"] / "fig21_shap_analysis",
             gradient_importance=np.asarray(grad["importance"]),
         )
-        methods.append({k: v for k, v in shap_res.items()
-                        if k not in ("shap_values", "x_explain")})
+        shap_light = {k: v for k, v in shap_res.items()
+                      if k not in ("shap_values", "x_explain")}
+        methods.append(shap_light)
 
     comparison = compare_importance_methods(methods)
 
@@ -486,14 +488,15 @@ def cmd_explain(args):
         plot_ode_explainability(fitted,
                                 paths["figures"] / "fig20_ode_explainability")
 
-    summary = {
-        "gradient": {k: v for k, v in grad.items()},
-        "permutation": {k: v for k, v in perm.items()},
-        "comparison": {k: v for k, v in comparison.items() if k != "merged"},
-        "attention": attention_analysis,
-        "ode": ode_analysis,
-        "top_channels": comparison["consensus_ranking"][:10],
-    }
+    # reference-parity summary incl. region shares + clinical insights
+    # (ref 07_explainability.py:1207-1273) — see eegflow.explain.summary
+    summary = build_summary(
+        grad, perm,
+        {k: v for k, v in comparison.items() if k != "merged"},
+        attention_analysis=attention_analysis,
+        ode_analysis=ode_analysis,
+        shap=shap_light,
+    )
     save_results(paths["results"] / "explainability_summary.json", summary)
     plot_channel_importance(grad, paths["figures"] / "fig16_gradient_importance")
     plot_channel_importance(perm, paths["figures"] / "fig17_permutation_importance")

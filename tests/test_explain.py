@@ -210,3 +210,47 @@ def test_stratified_kernel_shap_close_to_exact():
     exact = coefs[None, :] * (xs - bg.mean(0, keepdims=True))
     approx = kernel_shap_values(f, xs, bg, nsamples=300, seed=1)
     np.testing.assert_allclose(approx, exact, atol=1e-6)
+
+
+def test_build_summary_reference_fields():
+    """Summary carries the reference's region shares + clinical insights
+    (ref 07_explainability.py:1207-1273)."""
+    from eegflow.explain import build_summary
+
+    chans = ["O1", "O2", "Oz", "F3", "P7", "Cz"]
+    imp = [0.3, 0.2, 0.1, 0.15, 0.15, 0.1]
+    order = list(np.argsort(imp)[::-1])
+    grad = {"method": "gradient", "channels": chans, "importance": imp,
+            "ranking": [chans[i] for i in order]}
+    perm = {"method": "permutation", "channels": chans,
+            "importance": imp[::-1],
+            "ranking": [chans[i] for i in np.argsort(imp)]}
+    comparison = compare_importance_methods([grad, perm])
+    attn = analyze_attention_patterns(
+        np.full((8, 16), 1 / 16.0), np.array([0, 1] * 4))
+    ode = analyze_ode_dynamics(
+        {"k_ap": 0.02, "k_af": 0.095, "k_pa": 0.02, "k_pf": 0.626,
+         "k_fa": 0.139, "k_fp": 0.02})
+
+    res = build_summary(grad, perm, comparison,
+                        attention_analysis=attn, ode_analysis=ode, shap=None)
+    gb = res["channel_importance"]["gradient_based"]
+    assert gb["top_3_channels"] == ["O1", "O2", "F3"]
+    assert gb["occipital_importance"] == pytest.approx(0.6)  # O1+O2+Oz
+    assert gb["frontal_importance"] == pytest.approx(0.15)   # F3
+    assert gb["parietal_importance"] == pytest.approx(0.15)  # P7
+    assert gb["region_shares"]["Central"] == pytest.approx(0.1)
+    assert "permutation_based" in res["channel_importance"]
+    # balance < 1 here -> the fatigue-dominance sentence (ref 07:1233-1237)
+    assert "Fatigue processes dominate" in res["clinical_insights"]["state_dynamics"]
+    assert "O1" in res["clinical_insights"]["primary_indicators"]
+    assert res["explainability_methods"] == ["gradient", "permutation"]
+    assert res["attention_patterns"]["entropy"] == pytest.approx(1.0)
+
+    shap = dict(grad, method="kernel_shap")
+    res2 = build_summary(grad, perm, comparison, shap=shap)
+    assert res2["explainability_methods"] == ["gradient", "permutation", "shap"]
+    assert res2["channel_importance"]["shap_based"]["occipital_importance"] == \
+        pytest.approx(0.6)
+    # no ODE analysis -> no state_dynamics claim rather than a wrong one
+    assert "state_dynamics" not in res2["clinical_insights"]

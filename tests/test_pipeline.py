@@ -131,8 +131,17 @@ def test_stage_explain(pipeline_dirs):
     run(base, "explain", "--skip-shap")
     res = json.loads((out / "results" / "explainability_summary.json").read_text())
     assert len(res["gradient"]["importance"]) == 8
-    assert res["ode"]["balance"] > 0
+    assert res["ode_dynamics"]["balance"] > 0
     assert len(res["top_channels"]) == 8
+    # reference-parity summary fields (ref 07_explainability.py:1207-1273)
+    gb = res["channel_importance"]["gradient_based"]
+    assert set(gb) >= {"top_3_channels", "occipital_importance",
+                       "frontal_importance", "parietal_importance"}
+    assert len(gb["top_3_channels"]) == 3
+    assert {"primary_indicators", "temporal_pattern",
+            "state_dynamics"} <= set(res["clinical_insights"])
+    assert res["explainability_methods"] == ["gradient", "permutation"]
+    assert res["attention_patterns"]["entropy"] >= 0
     assert (out / "figures" / "fig19_importance_comparison.png").exists()
     assert (out / "figures" / "fig18_attention_explainability.png").exists()
     assert (out / "figures" / "fig20_ode_explainability.png").exists()
