@@ -1,0 +1,201 @@
+"""Diagnose the synthetic LSTM/trees gap (VERDICT r2 #4).
+
+Round-2 evidence: on the 24-subject synthetic set the raw-waveform BiLSTM
+reached AUC 0.8095 while every feature baseline hit 1.0000 — a ~30 pp gap on
+a biomarker (posterior alpha power, 3x amplitude when eyes closed) that a
+waveform model should capture nearly perfectly. The first-train-recording
+normalization quirk (ref 02:300-311) keeps ABSOLUTE amplitude, so the
+windows themselves are close to linearly separable in band power; the gap
+must be optimization/regularization, not information.
+
+This sweep holds the parity data fixed (24 subjects, 60 s, filtfilt — the
+exact parity-runner artifacts) and varies ONLY the training recipe:
+
+  base       parity hyperparameters untouched (TrainConfig defaults)
+  lr1e-3     learning_rate 1e-3
+  lr3e-3     learning_rate 3e-3
+  long       patience 40 (rules out the early-stop trap)
+  noaug      augment=False
+  perwin     per-window per-channel z-score applied on top of the pipeline
+             normalization (diagnostic only — NOT the parity semantics)
+  lr1e-3+long, scan-check (lstm_impl='scan' at base settings: the kernels
+             must train equivalently at scale)
+
+Each variant reports train/val/test AUC + MCC; train-set AUC separates
+can't-fit (optimization) from can't-generalize (subject shift). Results are
+appended to <out>/diagnosis.json after every variant so a watchdog kill
+still leaves a usable record.
+
+Usage: python tools/diagnose_synthetic_gap.py [--out /tmp/diag24]
+       [--quick]  (4 subjects / 20 epochs, CI smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+# self-sufficient like tools/profile_train.py: the environment's PYTHONPATH
+# carries the TPU plugin (.axon_site) and must not be replaced to find eegflow
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def prepare_data(out: Path, n_subjects: int, duration_s: float):
+    """Synthetic dataset -> parity preprocessing (filtfilt) -> artifacts."""
+    from eegflow.core.artifacts import load_processed
+    from eegflow.core.config import PipelineConfig
+    from eegflow.data.bids import discover_recordings
+    from eegflow.data.brainvision import read_brainvision
+    from eegflow.data.synthetic import generate_synthetic_dataset
+    from eegflow.signal.preprocess import process_recordings, split_subjects
+
+    npz = out / "processed" / "processed_sequences.npz"
+    if npz.exists():
+        arrays, meta = load_processed(npz)
+        return {k: np.asarray(v) for k, v in arrays.items()}, meta
+
+    data_dir = out / "data"
+    if not (data_dir / "sub-01").exists():
+        print(f"generating {n_subjects}-subject synthetic dataset...", flush=True)
+        generate_synthetic_dataset(data_dir, n_subjects=n_subjects,
+                                   duration_s=duration_s)
+
+    cfg = PipelineConfig()
+    pre = dataclasses.replace(cfg.preprocess, filter_method="filtfilt")
+    recs = discover_recordings(data_dir, cfg.data.tasks, cfg.data.max_subjects)
+    splits = split_subjects(recs, pre.train_frac, pre.val_frac, pre.seed)
+    loaded = {s: [(r, read_brainvision(r["vhdr_path"])[0])
+                  for r in splits.get(s, [])]
+              for s in ("train", "val", "test")}
+    t0 = time.perf_counter()
+    arrays, meta = process_recordings(loaded, pre)
+    print(f"preprocessed in {time.perf_counter() - t0:.0f}s: "
+          + ", ".join(f"{s}={arrays[f'X_{s}'].shape}" for s in ("train", "val", "test")),
+          flush=True)
+
+    from eegflow.core.artifacts import save_processed
+    save_processed(out / "processed", arrays, meta)
+    return {k: np.asarray(v) for k, v in arrays.items()}, meta
+
+
+def per_window_norm(x: np.ndarray) -> np.ndarray:
+    m = x.mean(axis=1, keepdims=True)
+    s = x.std(axis=1, keepdims=True)
+    return (x - m) / np.maximum(s, 1e-8)
+
+
+def auc_mcc(y_true, probs):
+    from sklearn.metrics import matthews_corrcoef, roc_auc_score
+
+    pred = (probs[:, 1] > 0.5).astype(int)
+    return (float(roc_auc_score(y_true, probs[:, 1])),
+            float(matthews_corrcoef(y_true, pred)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/diag24")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--variants", default=None,
+                    help="comma list to restrict (e.g. base,perwin)")
+    args = ap.parse_args()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    n_subjects = 4 if args.quick else 24
+    epochs = 20 if args.quick else 100
+
+    arrays, meta = prepare_data(out, n_subjects, 60.0)
+    xtr, ytr = arrays["X_train"], arrays["y_train"]
+    xva, yva = arrays["X_val"], arrays["y_val"]
+    xte, yte = arrays["X_test"], arrays["y_test"]
+
+    from eegflow.core.config import ModelConfig, TrainConfig
+    from eegflow.train.data import augment_data
+    from eegflow.train.loop import predict_probs, train_classifier
+
+    model_cfg = ModelConfig(input_size=xtr.shape[2])
+    base = TrainConfig(epochs=epochs)
+
+    # cmd_train applies the reference's static 3x augmentation BEFORE the
+    # loop (ref 04:290-312); replicate it so "base" IS the parity path
+    aug_rng = np.random.default_rng(base.seed)
+    xtr_aug, ytr_aug = augment_data(xtr, ytr, aug_rng,
+                                    noise_std=base.noise_std,
+                                    max_shift=base.max_shift)
+    print(f"augmented train set: {xtr_aug.shape}", flush=True)
+
+    variants = {
+        # parity defaults (what `eegflow parity --synthetic` trains with)
+        "base": {},
+        # update-count hypothesis: accumulation x4 on ~22k windows leaves
+        # ~10 optimizer updates/epoch vs the reference's real-data ~60+
+        "accum1": {"accumulation_steps": 1},
+        "lr1e-3": {"learning_rate": 1e-3},
+        "lr3e-3": {"learning_rate": 3e-3},
+        "long": {"patience": 40},
+        # matched update COUNT at parity lr/accum: 4x the epochs+patience
+        "updates-matched": {"epochs": epochs * 4, "patience": 60},
+        "noaug": {"augment": False},
+        "perwin": {},
+        "lr1e-3+long": {"learning_rate": 1e-3, "patience": 40},
+        "scan-check": {"lstm_impl": "scan"},
+    }
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
+
+    results_path = out / "diagnosis.json"
+    results = (json.loads(results_path.read_text())
+               if results_path.exists() else {})
+    for name, overrides in variants.items():
+        if name in results:
+            print(f"[{name}] cached: {results[name]}", flush=True)
+            continue
+        cfg = dataclasses.replace(base, **overrides)
+        if name == "perwin":
+            xs = (per_window_norm(xtr_aug), per_window_norm(xva),
+                  per_window_norm(xte))
+            ys_tr = ytr_aug
+        elif name == "noaug":
+            xs, ys_tr = (xtr, xva, xte), ytr
+        else:
+            xs, ys_tr = (xtr_aug, xva, xte), ytr_aug
+        print(f"\n[{name}] training ({overrides or 'parity defaults'})...",
+              flush=True)
+        t0 = time.perf_counter()
+        res = train_classifier(xs[0], ys_tr, xs[1], yva, model_cfg, cfg,
+                               verbose=False)
+        wall = time.perf_counter() - t0
+        rec = {"epochs_run": res.epochs_run, "best_val_sel": res.best_val_f1,
+               "train_wall_s": round(wall, 1),
+               "windows_per_sec": round(res.windows_per_sec, 1)}
+        x_tr_eval = per_window_norm(xtr) if name == "perwin" else xtr
+        for split, (xx, yy) in (("train", (x_tr_eval, ytr)),
+                                ("val", (xs[1], yva)),
+                                ("test", (xs[2], yte))):
+            probs = np.asarray(predict_probs(res.params, xx, model_cfg,
+                                             lstm_impl=cfg.lstm_impl))
+            a, m = auc_mcc(yy, probs)
+            rec[f"{split}_auc"], rec[f"{split}_mcc"] = round(a, 4), round(m, 4)
+        results[name] = rec
+        results_path.write_text(json.dumps(results, indent=2))
+        print(f"[{name}] {rec}", flush=True)
+
+    print("\n=== summary ===")
+    for name, rec in results.items():
+        print(f"{name:14s} train_auc={rec['train_auc']:.3f} "
+              f"val_auc={rec['val_auc']:.3f} test_auc={rec['test_auc']:.3f} "
+              f"test_mcc={rec['test_mcc']:.3f} epochs={rec['epochs_run']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
