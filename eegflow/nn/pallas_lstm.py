@@ -35,6 +35,7 @@ bf16 matmul policy. Replaces the reference's cuDNN fused LSTM
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Dict, Optional
 
 import jax
@@ -627,6 +628,152 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
 
 
+def _bwd_fused_kernel_v2(*refs, t_chunk: int, hidden: int, reverse: bool,
+                         n_parts: int, n_masks: int, keep: float,
+                         prng_dropout: bool, n_chunks: int, n_dxadd: int = 0,
+                         mask_from_x: bool = False):
+    """Two-pass variant of :func:`_bwd_fused_kernel` (same contract).
+
+    The v1 kernel interleaves the serial adjoint recurrence with FOUR
+    per-step matmuls; only the ``dz -> dh`` product is actually on the
+    serial chain, yet the three big ones (dx, dW_ih, dW_hh) inherit its
+    step granularity — (batch_tile, 4H) x (4H, ·) shapes whose MXU
+    efficiency is capped by the dependency-chain stalls (measured ~50% of
+    the FLOPs bound; the six backward kernels were 22.8 of a 41.8 ms train
+    step at B=512).
+
+    Pass 1 (serial, per step): gate adjoint VPU math, the small ``dz @
+    W_hh^T`` carry matmul, and the f32 ``dz`` + bf16 ``h_prev`` rows
+    written to VMEM scratch.
+    Pass 2 (whole chunk): dx / dW_ih / dW_hh as single chunk-sized GEMMs —
+    M = batch_tile*t_chunk = 1024 rows on the MXU with no serial
+    dependency — plus block-wide dropout-mask application and the db sum.
+    Weight-gradient accumulation order changes (one K=1024 contraction per
+    block instead of t_chunk K=batch_tile ones); both accumulate in f32, so
+    the reassociation noise is far below the bf16 AMP tolerance the tests
+    pin."""
+    z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = refs[:6]
+    x_refs = refs[6 : 6 + n_parts]
+    mask_refs = refs[6 + n_parts : 6 + n_parts + n_masks]
+    o = 6 + n_parts + n_masks
+    if prng_dropout:
+        seed_ref = refs[o]
+        o += 1
+    dxadd_refs = refs[o : o + n_dxadd]
+    o += n_dxadd
+    whh_t_ref = refs[o]
+    wih_t_refs = refs[o + 1 : o + 1 + n_parts]
+    o = o + 1 + n_parts
+    dx_refs = refs[o : o + n_parts]
+    dwih_refs = refs[o + n_parts : o + 2 * n_parts]
+    (dwhh_ref, db_ref, dh_sc, dc_sc, dz_sc, hp_sc) = refs[o + 2 * n_parts :]
+
+    inv_keep = 1.0 / keep
+    if prng_dropout:
+        j = pl.program_id(1)
+        seq_chunk = j if reverse else (n_chunks - 1 - j)
+        maskv = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
+                                  n_parts, [r.shape for r in x_refs], keep)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset():
+        dh_sc[:] = jnp.zeros_like(dh_sc)
+        dc_sc[:] = jnp.zeros_like(dc_sc)
+
+    @pl.when(first)
+    def _zero_accumulators():
+        for dwih_ref in dwih_refs:
+            dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    # ---- pass 1: serial adjoint recurrence --------------------------------
+    for s in range(t_chunk):  # unrolled: static sublane offsets
+        i_t = s if reverse else t_chunk - 1 - s
+        if reverse:
+            boundary = i_t == t_chunk - 1
+            prev = i_t + 1
+        else:
+            boundary = i_t == 0
+            prev = i_t - 1
+        if boundary:
+            c_prev = cb_ref[:]
+            h_prev = hb_ref[:]
+        else:
+            c_prev = c_ref[:, prev, :]
+            h_prev = h_ref[:, prev, :]
+        g_act = z_ref[:, i_t, :]  # post-activation gates saved by the forward
+        gi = g_act[:, :hidden]
+        gf = g_act[:, hidden : 2 * hidden]
+        gg = g_act[:, 2 * hidden : 3 * hidden]
+        go = g_act[:, 3 * hidden :]
+        tc_ = jnp.tanh(c_ref[:, i_t, :])
+
+        dh = g_ref[:, i_t, :] + dh_sc[:]
+        do = dh * tc_
+        dc = dh * go * (1.0 - tc_ * tc_) + dc_sc[:]
+        di = dc * gg
+        df = dc * c_prev
+        dg = dc * gi
+        dc_sc[:] = dc * gf
+
+        dz = jnp.concatenate(
+            [di * gi * (1.0 - gi), df * gf * (1.0 - gf),
+             dg * (1.0 - gg * gg), do * go * (1.0 - go)],
+            axis=-1,
+        )
+        dz_sc[:, i_t, :] = dz
+        hp_sc[:, i_t, :] = h_prev.astype(jnp.bfloat16)
+        dh_sc[:] = jnp.dot(dz.astype(jnp.bfloat16), whh_t_ref[:],
+                           preferred_element_type=jnp.float32)
+
+    # ---- pass 2: whole-chunk GEMMs ----------------------------------------
+    bt = dz_sc.shape[0]
+    g4 = dz_sc.shape[2]
+    dzmat = jnp.reshape(dz_sc[:], (bt * t_chunk, g4))
+    dzmat16 = dzmat.astype(jnp.bfloat16)
+    db_ref[:] += jnp.sum(dzmat, axis=0, keepdims=True)
+    dwhh_ref[:] += jax.lax.dot_general(
+        jnp.reshape(hp_sc[:], (bt * t_chunk, hidden)), dzmat16,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    for p in range(n_parts):
+        w = x_refs[p].shape[2]
+        dx3 = jnp.reshape(jnp.dot(dzmat16, wih_t_refs[p][:],
+                                  preferred_element_type=jnp.float32),
+                          (bt, t_chunk, w))
+        xv = x_refs[p][:]
+        if prng_dropout:
+            dx3 = dx3 * maskv[p]
+            xv = xv * maskv[p]
+        elif n_masks:
+            m = mask_refs[p][:] != 0
+            dx3 = jnp.where(m, dx3 * inv_keep, 0.0)
+            xv = jnp.where(m, xv * inv_keep, 0.0)
+        elif mask_from_x:
+            # xv is the ALREADY-dropped input; dwih contracts it as-is
+            dx3 = jnp.where(xv == 0.0, 0.0, dx3 * inv_keep)
+        if n_dxadd:
+            dx3 = dx3 + dxadd_refs[p][:]
+        dx_refs[p][:] = dx3
+        dwih_refs[p][:] += jax.lax.dot_general(
+            jnp.reshape(xv.astype(jnp.bfloat16), (bt * t_chunk, w)), dzmat16,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+#: backward-kernel selector: 0 (default) = the per-step v1 kernel,
+#: 1 = the two-pass v2 kernel. Measured on the v5e (B=512, T=256, H=256×3,
+#: tools/profile_train.py): v1 40.58 ms/step (MFU 42.7%) vs v2 43.12 ms
+#: (40.2%); v2 with t_chunk=16 48.1 ms. The hypothesis that the three big
+#: per-step GEMMs were capped by the serial-chain stalls was wrong: Mosaic
+#: already overlaps step s's independent GEMMs with step s+1's serial
+#: carry matmul, and v2's scratch round-trip + end-of-block GEMM barrier
+#: costs more than the larger-M MXU shapes save. Kept for A/B re-checks on
+#: future compiler versions.
+_BWD_V2 = int(_os.environ.get("EEGFLOW_BWD_V2", "0"))
+
+
 @functools.partial(
     jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse",
                               "keep", "mask_from_x")
@@ -694,12 +841,13 @@ def lstm_bwd_fused(
     const = lambda a, b_: pl.BlockSpec((a, b_), lambda i, j: (0, 0),
                                        memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_bwd_fused_kernel, t_chunk=t_chunk,
-                               hidden=hidden, reverse=reverse,
-                               n_parts=len(xs), n_masks=len(masks),
-                               keep=keep, prng_dropout=prng,
-                               n_chunks=n_chunks, n_dxadd=len(dx_add),
-                               mask_from_x=mask_from_x)
+    kernel = functools.partial(
+        _bwd_fused_kernel_v2 if _BWD_V2 else _bwd_fused_kernel,
+        t_chunk=t_chunk, hidden=hidden, reverse=reverse,
+        n_parts=len(xs), n_masks=len(masks),
+        keep=keep, prng_dropout=prng,
+        n_chunks=n_chunks, n_dxadd=len(dx_add),
+        mask_from_x=mask_from_x)
     n_p = len(xs)
     outs = pl.pallas_call(
         kernel,
@@ -729,7 +877,10 @@ def lstm_bwd_fused(
         scratch_shapes=[
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dh carry
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dc carry
-        ],
+        ] + ([
+            pltpu.VMEM((batch_tile, t_chunk, g4), jnp.float32),  # dz rows (v2 pass 1→2)
+            pltpu.VMEM((batch_tile, t_chunk, hidden), jnp.bfloat16),  # h_prev rows
+        ] if _BWD_V2 else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
@@ -941,8 +1092,6 @@ def lstm_recurrence_backward(
 # Training-safe fused layer: Pallas forward, Pallas backward
 # ---------------------------------------------------------------------------
 
-
-import os as _os
 
 #: env-overridable for tile experiments (tools/profile_train.py A/Bs)
 _FUSED_BATCH_TILE = int(_os.environ.get("EEGFLOW_FUSED_BT", "128"))
