@@ -9,6 +9,7 @@ Linear: W, b ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -54,6 +55,26 @@ def layer_norm_apply(
     return norm * params["scale"] + params["bias"]
 
 
+def _rbg_key(key: jax.Array) -> jax.Array:
+    """Re-seed ``key`` as an ``rbg`` PRNG key (same derivation tree, cheaper
+    bits).
+
+    Threefry bit generation is pure VPU arithmetic in XLA (~4 ms/step of the
+    B=512 train step goes to the three dropout fusions); ``rbg`` lowers to the
+    TPU's RngBitGenerator HLO instead. Key *derivation* (split/fold_in) stays
+    threefry — only the final bit draw swaps — so mask streams remain
+    deterministic per seed. rbg bit order is only guaranteed stable per
+    backend+compiler, which is fine for dropout masks (any fixed Bernoulli
+    stream is a valid mask) but NOT for anything that must be reproducible
+    across platforms — hence opt-in via EEGFLOW_RBG_DROPOUT."""
+    data = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    return jax.random.wrap_key_data(jnp.concatenate([data, data])[:4],
+                                    impl="rbg")
+
+
+_RBG_DROPOUT = os.environ.get("EEGFLOW_RBG_DROPOUT", "0") == "1"
+
+
 def dropout(
     x: jnp.ndarray, rate: float, key: Optional[jax.Array], train: bool
 ) -> jnp.ndarray:
@@ -61,6 +82,8 @@ def dropout(
     if not train or rate <= 0.0 or key is None:
         return x
     keep = 1.0 - rate
+    if _RBG_DROPOUT:
+        key = _rbg_key(key)
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0)
 

@@ -540,7 +540,7 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     o = o + 1 + n_parts
     dx_refs = refs[o : o + n_parts]
     dwih_refs = refs[o + n_parts : o + 2 * n_parts]
-    dwhh_ref, db_ref, dh_sc, dc_sc = refs[o + 2 * n_parts :]
+    dwhh_ref, db_ref, dh_sc, dc_sc, *probe_sc = refs[o + 2 * n_parts :]
 
     inv_keep = 1.0 / keep
     if prng_dropout:
@@ -556,6 +556,8 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     def _reset():
         dh_sc[:] = jnp.zeros_like(dh_sc)
         dc_sc[:] = jnp.zeros_like(dc_sc)
+        for r in probe_sc:
+            r[:] = jnp.zeros_like(r)
 
     @pl.when(first)
     def _zero_accumulators():
@@ -586,26 +588,45 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         go = g_act[:, 3 * hidden :]
         tc_ = jnp.tanh(c_ref[:, i_t, :])
 
-        dh = g_ref[:, i_t, :] + dh_sc[:]
-        do = dh * tc_
-        dc = dh * go * (1.0 - tc_ * tc_) + dc_sc[:]
-        di = dc * gg
-        df = dc * c_prev
-        dg = dc * gi
-        dc_sc[:] = dc * gf
+        def adjoint_chain(dh_carry, dc_carry, g_scale=None):
+            # the serial gate-adjoint chain: everything between reading the
+            # previous step's carries and producing this step's dz
+            dh = g_ref[:, i_t, :] + dh_carry[:]
+            if g_scale is not None:  # probe only: defeat CSE with the primary
+                dh = dh * g_scale
+            do = dh * tc_
+            dc = dh * go * (1.0 - tc_ * tc_) + dc_carry[:]
+            di = dc * gg
+            df = dc * c_prev
+            dg = dc * gi
+            dc_carry[:] = dc * gf
+            dz = jnp.concatenate(
+                [di * gi * (1.0 - gi), df * gf * (1.0 - gf),
+                 dg * (1.0 - gg * gg), do * go * (1.0 - go)],
+                axis=-1,
+            )
+            dz16 = dz.astype(jnp.bfloat16)
+            dh_carry[:] = jnp.dot(dz16, whh_t_ref[:],
+                                  preferred_element_type=jnp.float32)
+            return dz, dz16
 
-        dz = jnp.concatenate(
-            [di * gi * (1.0 - gi), df * gf * (1.0 - gf),
-             dg * (1.0 - gg * gg), do * go * (1.0 - go)],
-            axis=-1,
-        )
-        dz16 = dz.astype(jnp.bfloat16)
-        dh_sc[:] = jnp.dot(dz16, whh_t_ref[:],
-                           preferred_element_type=jnp.float32)
+        dz, dz16 = adjoint_chain(dh_sc, dc_sc)
+        if probe_sc:
+            # perf probe (EEGFLOW_BWD_PROBE_DUP=1): a second, independent
+            # adjoint chain over the SAME blocks, merged at ~1e-30 scale so
+            # Mosaic cannot DCE it. If the kernel runs in well under 2x the
+            # single-chain time, the serial chain leaves stalls a combined
+            # dual-direction kernel could fill.
+            dz_b, dz16_b = adjoint_chain(probe_sc[0], probe_sc[1],
+                                         jnp.float32(1.0000001))
+            eps = jnp.float32(1e-30)
         # weight grads: contract over the batch tile (K = batch_tile)
         for p in range(n_parts):
             dxv = jnp.dot(dz16, wih_t_refs[p][:],
                           preferred_element_type=jnp.float32)
+            if probe_sc:
+                dxv += eps * jnp.dot(dz16_b, wih_t_refs[p][:],
+                                     preferred_element_type=jnp.float32)
             xv = x_refs[p][:, i_t, :]
             if prng_dropout:
                 dxv = _prng_masked(dxv, maskv[p], i_t)
@@ -622,9 +643,19 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
             dwih_refs[p][:] += jax.lax.dot_general(
                 xv.astype(jnp.bfloat16), dz16,
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            if probe_sc:
+                dwih_refs[p][:] += eps * jax.lax.dot_general(
+                    xv.astype(jnp.bfloat16), dz16_b,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         dwhh_ref[:] += jax.lax.dot_general(
             h_prev.astype(jnp.bfloat16), dz16,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        if probe_sc:
+            dwhh_ref[:] += eps * jax.lax.dot_general(
+                h_prev.astype(jnp.bfloat16), dz16_b,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            db_ref[:] += eps * jnp.sum(dz_b, axis=0, keepdims=True)
         db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
 
 
@@ -772,6 +803,8 @@ def _bwd_fused_kernel_v2(*refs, t_chunk: int, hidden: int, reverse: bool,
 #: costs more than the larger-M MXU shapes save. Kept for A/B re-checks on
 #: future compiler versions.
 _BWD_V2 = int(_os.environ.get("EEGFLOW_BWD_V2", "0"))
+# perf probe: duplicate the v1 adjoint chain in-kernel (see adjoint_chain)
+_BWD_PROBE_DUP = int(_os.environ.get("EEGFLOW_BWD_PROBE_DUP", "0"))
 
 
 @functools.partial(
@@ -880,7 +913,10 @@ def lstm_bwd_fused(
         ] + ([
             pltpu.VMEM((batch_tile, t_chunk, g4), jnp.float32),  # dz rows (v2 pass 1→2)
             pltpu.VMEM((batch_tile, t_chunk, hidden), jnp.bfloat16),  # h_prev rows
-        ] if _BWD_V2 else []),
+        ] if _BWD_V2 else []) + ([
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # probe dup dh
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # probe dup dc
+        ] if _BWD_PROBE_DUP and not _BWD_V2 else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(

@@ -8,13 +8,13 @@ the driver also uses for the multi-chip dry run.
 import os
 
 # The environment presets JAX_PLATFORMS=axon (the real TPU tunnel); tests must
-# run on a virtual 8-device CPU mesh, so force it hard (env var alone is not
-# honored once the axon plugin registers — jax.config.update below is).
+# run on a virtual 8-device CPU mesh, so force it hard. CAUTION: a pytest
+# plugin imports jax BEFORE this conftest runs, so env vars set here are
+# already bound — ONLY jax.config.update takes effect (for the platform AND
+# for the compilation cache; the env-var-only cache setup silently never
+# wrote a single entry).
 os.environ.pop("JAX_PLATFORMS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,6 +24,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: interpret-mode Pallas backward graphs take
+# 30-120 s each to compile on CPU; warm runs skip all of it.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

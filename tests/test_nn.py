@@ -208,6 +208,34 @@ def test_classifier_dropout_changes_train_output_only():
     assert not np.allclose(tr1, tr2)
 
 
+def test_rbg_dropout_deterministic_and_correct_rate():
+    # EEGFLOW_RBG_DROPOUT swaps threefry bit generation for the TPU-native
+    # rbg generator (layers._rbg_key); the mask stream must stay a
+    # deterministic Bernoulli(keep) — semantics identical, bits cheaper
+    from eegflow.nn.layers import _rbg_key, dropout
+
+    key = jax.random.key(7)
+    rkey = _rbg_key(key)
+    assert str(jax.random.key_impl(rkey)) == "rbg"
+    # derivation is a pure function of the source key
+    assert jnp.array_equal(jax.random.key_data(_rbg_key(key)),
+                           jax.random.key_data(rkey))
+    x = jnp.ones((500, 200))
+    a = jnp.where(jax.random.bernoulli(rkey, 0.6, x.shape), x / 0.6, 0.0)
+    b = jnp.where(jax.random.bernoulli(rkey, 0.6, x.shape), x / 0.6, 0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    keep_frac = float((np.asarray(a) > 0).mean())
+    assert abs(keep_frac - 0.6) < 0.02
+    # distinct source keys give distinct streams
+    c = jnp.where(jax.random.bernoulli(_rbg_key(jax.random.key(8)), 0.6,
+                                       x.shape), x / 0.6, 0.0)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    # the plain path is untouched when the flag is off (default)
+    d1 = dropout(x, 0.4, key, True)
+    d2 = dropout(x, 0.4, key, True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
 def test_classifier_is_jittable_and_grads_flow():
     cfg = ModelConfig(input_size=8, hidden_size=16, num_layers=2)
     params = classifier_init(jax.random.key(12), cfg)

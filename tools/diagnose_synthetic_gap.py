@@ -147,6 +147,14 @@ def main():
         "perwin": {},
         "lr1e-3+long": {"learning_rate": 1e-3, "patience": 40},
         "scan-check": {"lstm_impl": "scan"},
+        # train AUC hit 1.0 in every first-pass variant — the gap is
+        # subject generalization, not optimization. Second pass: the
+        # regularizers that attack subject memorization directly.
+        "mixreg": {"aug_mixup": True, "aug_channel_dropout": 0.1},
+        "mixreg+long": {"aug_mixup": True, "aug_channel_dropout": 0.1,
+                        "patience": 40},
+        "wd1e-2": {"weight_decay": 1e-2},
+        "perwin+mixreg": {"aug_mixup": True, "aug_channel_dropout": 0.1},
     }
     if args.variants:
         keep = set(args.variants.split(","))
@@ -160,14 +168,24 @@ def main():
             print(f"[{name}] cached: {results[name]}", flush=True)
             continue
         cfg = dataclasses.replace(base, **overrides)
-        if name == "perwin":
-            xs = (per_window_norm(xtr_aug), per_window_norm(xva),
+        if cfg.aug_mixup or cfg.aug_channel_dropout > 0.0:
+            # mixup/channel-dropout are extra augment_data copies (like
+            # cmd_train applies them) — re-augment for this variant
+            rng_v = np.random.default_rng(cfg.seed)
+            x_aug_v, y_aug_v = augment_data(
+                xtr, ytr, rng_v, noise_std=cfg.noise_std,
+                max_shift=cfg.max_shift, mixup=cfg.aug_mixup,
+                channel_dropout=cfg.aug_channel_dropout)
+        else:
+            x_aug_v, y_aug_v = xtr_aug, ytr_aug
+        if name.startswith("perwin"):
+            xs = (per_window_norm(x_aug_v), per_window_norm(xva),
                   per_window_norm(xte))
-            ys_tr = ytr_aug
+            ys_tr = y_aug_v
         elif name == "noaug":
             xs, ys_tr = (xtr, xva, xte), ytr
         else:
-            xs, ys_tr = (xtr_aug, xva, xte), ytr_aug
+            xs, ys_tr = (x_aug_v, xva, xte), y_aug_v
         print(f"\n[{name}] training ({overrides or 'parity defaults'})...",
               flush=True)
         t0 = time.perf_counter()
@@ -177,7 +195,7 @@ def main():
         rec = {"epochs_run": res.epochs_run, "best_val_sel": res.best_val_f1,
                "train_wall_s": round(wall, 1),
                "windows_per_sec": round(res.windows_per_sec, 1)}
-        x_tr_eval = per_window_norm(xtr) if name == "perwin" else xtr
+        x_tr_eval = per_window_norm(xtr) if name.startswith("perwin") else xtr
         for split, (xx, yy) in (("train", (x_tr_eval, ytr)),
                                 ("val", (xs[1], yva)),
                                 ("test", (xs[2], yte))):
