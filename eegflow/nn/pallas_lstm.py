@@ -44,6 +44,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# A/B flag: stream tanh(c) from the forward kernel as an extra residual so
+# the backward kernel's serial adjoint chain drops its per-step tanh
+# (the backward kernels are VPU-bound — see docs/ROUND3_RESULTS.md).
+_BWD_TC = int(_os.environ.get("EEGFLOW_BWD_TC", "0"))
+
 
 def _sigmoid(x):
     """sigmoid via the tanh identity: Mosaic's tanh is ~2x cheaper than the
@@ -341,7 +346,8 @@ def _prng_masked(x, maskv, i):
 
 def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                      n_parts: int, n_masks: int, keep: float,
-                     prng_dropout: bool, n_chunks: int):
+                     prng_dropout: bool, n_chunks: int,
+                     stream_tc: bool = False):
     """One (batch_tile, time_chunk) grid step: project + recurrence, storing
     (h, c, gates) f32 residuals. The projection matmuls are independent across
     steps, so the MXU pipelines them behind the serial recurrence chain.
@@ -360,8 +366,12 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         seed_ref = refs[o]
         o += 1
     wih_refs = refs[o : o + n_parts]
-    (b_ref, whh_ref, h_out, c_out, z_out, hb_out, cb_out,
-     h_sc, c_sc) = refs[o + n_parts :]
+    if stream_tc:
+        (b_ref, whh_ref, h_out, c_out, z_out, tc_out, hb_out, cb_out,
+         h_sc, c_sc) = refs[o + n_parts :]
+    else:
+        (b_ref, whh_ref, h_out, c_out, z_out, hb_out, cb_out,
+         h_sc, c_sc) = refs[o + n_parts :]
 
     @pl.when(pl.program_id(1) == 0)
     def _reset_state():
@@ -399,11 +409,16 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
         go = _sigmoid(z[:, 3 * hidden :])
         c_new = gf * c_sc[:] + gi * gg
-        h_new = go * jnp.tanh(c_new)
+        tc_new = jnp.tanh(c_new)
+        h_new = go * tc_new
         h_sc[:] = h_new
         c_sc[:] = c_new
         h_out[:, i, :] = h_new
         c_out[:, i, :] = c_new
+        if stream_tc:
+            # stream tanh(c) (computed here anyway) so the VPU-bound adjoint
+            # kernel reads it instead of re-evaluating a tanh per step
+            tc_out[:, i, :] = tc_new
         # residual = the POST-activation gates, not z: the adjoint then needs
         # only multiplies (gate'(z) in terms of the activation) + one tanh(c),
         # instead of re-evaluating 4 transcendental passes per step
@@ -427,7 +442,9 @@ def lstm_fwd_fused_proj(
     reverse: bool = False,
 ):
     """Input parts (each (B, T, D_p), sum D_p = D) ->
-    f32 (h_seq, c_seq, gates_seq, h_bound, c_bound).
+    f32 (h_seq, c_seq, gates_seq, tc_seq, h_bound, c_bound) where tc_seq
+    is tanh(c_seq) when EEGFLOW_BWD_TC=1 (streamed for the adjoint kernel)
+    and None otherwise.
 
     Weights bf16-resident; W_ih is split row-wise to match the parts so a
     bidirectional predecessor's halves are consumed without a concat. The
@@ -468,8 +485,9 @@ def lstm_fwd_fused_proj(
                                hidden=hidden, reverse=reverse,
                                n_parts=len(xs), n_masks=len(masks),
                                keep=keep, prng_dropout=prng,
-                               n_chunks=n_chunks)
-    return pl.pallas_call(
+                               n_chunks=n_chunks, stream_tc=bool(_BWD_TC))
+    seq_h = jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[blk(w) for w in widths]
@@ -477,15 +495,14 @@ def lstm_fwd_fused_proj(
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if prng else [])
         + [const(w, 4 * hidden) for w in widths]
         + [const(1, 4 * hidden), const(hidden, 4 * hidden)],
-        out_specs=(blk(hidden), blk(hidden), blk(4 * hidden),
-                   bound_spec, bound_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, t, 4 * hidden), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32),
-        ),
+        out_specs=(blk(hidden), blk(hidden), blk(4 * hidden))
+        + ((blk(hidden),) if _BWD_TC else ())
+        + (bound_spec, bound_spec),
+        out_shape=(seq_h, seq_h,
+                   jax.ShapeDtypeStruct((bsz, t, 4 * hidden), jnp.float32))
+        + ((seq_h,) if _BWD_TC else ())
+        + (jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32),
+           jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # h
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # c
@@ -499,12 +516,17 @@ def lstm_fwd_fused_proj(
       *([jnp.asarray(dropout_seed, jnp.int32)] if prng else []),
       *[w.astype(jnp.bfloat16) for w in w_parts],
       b.reshape(1, -1).astype(jnp.float32), w_hh.astype(jnp.bfloat16))
+    if _BWD_TC:
+        h, c, z, tc_seq, hb, cb = outs
+    else:
+        (h, c, z, hb, cb), tc_seq = outs, None
+    return h, c, z, tc_seq, hb, cb
 
 
 def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                       n_parts: int, n_masks: int, keep: float,
                       prng_dropout: bool, n_chunks: int, n_dxadd: int = 0,
-                      mask_from_x: bool = False):
+                      mask_from_x: bool = False, stream_tc: bool = False):
     """Adjoint step producing per-part dx and accumulating (dW_ih parts,
     dW_hh, db) into VMEM-resident output blocks. Standard LSTM adjoint,
     gate order i,f,g,o. In-kernel dropout (PRNG seed or uint8 masks)
@@ -527,9 +549,13 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     dx on the way out (the sibling direction's dx — fuses the XLA add of
     the two directions' input cotangents)."""
     z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = refs[:6]
-    x_refs = refs[6 : 6 + n_parts]
-    mask_refs = refs[6 + n_parts : 6 + n_parts + n_masks]
-    o = 6 + n_parts + n_masks
+    o = 6
+    if stream_tc:
+        tc_ref = refs[o]
+        o += 1
+    x_refs = refs[o : o + n_parts]
+    mask_refs = refs[o + n_parts : o + n_parts + n_masks]
+    o = o + n_parts + n_masks
     if prng_dropout:
         seed_ref = refs[o]
         o += 1
@@ -586,7 +612,9 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         gf = g_act[:, hidden : 2 * hidden]
         gg = g_act[:, 2 * hidden : 3 * hidden]
         go = g_act[:, 3 * hidden :]
-        tc_ = jnp.tanh(c_ref[:, i_t, :])
+        # tanh(c): streamed from the forward when EEGFLOW_BWD_TC=1 (kills a
+        # per-step transcendental in this VPU-bound kernel), else recomputed
+        tc_ = tc_ref[:, i_t, :] if stream_tc else jnp.tanh(c_ref[:, i_t, :])
 
         def adjoint_chain(dh_carry, dc_carry, g_scale=None):
             # the serial gate-adjoint chain: everything between reading the
@@ -826,6 +854,7 @@ def lstm_bwd_fused(
     dropout_seed=None,
     dx_add=None,
     mask_from_x: bool = False,
+    tc_seq=None,
     batch_tile: int = 128,
     t_chunk: int = 8,
     interpret: bool = False,
@@ -859,6 +888,9 @@ def lstm_bwd_fused(
     z_seq = z_seq.astype(jnp.float32)
     c_seq = c_seq.astype(jnp.float32)
     h_seq = h_seq.astype(jnp.float32)
+    if _BWD_V2:
+        tc_seq = None  # the two-pass kernel keeps its own recompute
+    stream_tc = tc_seq is not None
 
     if reverse:
         seq_idx = lambda i, j: (i, j, 0)                 # oldest-first
@@ -880,7 +912,8 @@ def lstm_bwd_fused(
         n_parts=len(xs), n_masks=len(masks),
         keep=keep, prng_dropout=prng,
         n_chunks=n_chunks, n_dxadd=len(dx_add),
-        mask_from_x=mask_from_x)
+        mask_from_x=mask_from_x,
+        **({} if _BWD_V2 else {"stream_tc": stream_tc}))
     n_p = len(xs)
     outs = pl.pallas_call(
         kernel,
@@ -893,6 +926,7 @@ def lstm_bwd_fused(
             blk(hidden),                                 # h
             bound_spec,                                  # h boundary
         ]
+        + ([blk(hidden)] if stream_tc else [])           # tanh(c) stream
         + [blk(w) for w in widths]                       # x parts
         + [blk(w) for w, _ in zip(widths, masks)]        # dropout masks
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if prng else [])
@@ -921,6 +955,7 @@ def lstm_bwd_fused(
         interpret=interpret,
     )(
         z_seq, c_seq, c_bound, g_out.astype(jnp.float32), h_seq, h_bound,
+        *([tc_seq.astype(jnp.float32)] if stream_tc else []),
         *[p.astype(jnp.float32) for p in xs],
         *[m.astype(jnp.uint8) for m in masks],
         *([jnp.asarray(dropout_seed, jnp.int32)] if prng else []),
@@ -1169,12 +1204,12 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False, masks=(),
         masks_pad = tuple(
             jnp.pad(m, ((0, pad_b), (0, 0), (0, 0))) if pad_b else m
             for m in masks)
-        h_pad, c_pad, z_pad, h_bound, c_bound = lstm_fwd_fused_proj(
+        h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound = lstm_fwd_fused_proj(
             xs_pad, w_ih, b, w_hh, masks_pad, keep, seed,
             batch_tile=bt, t_chunk=tc,
             interpret=_auto_interpret(None), reverse=reverse,
         )
-        return h_pad, (h_pad, c_pad, z_pad, h_bound, c_bound, xs_pad,
+        return h_pad, (h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound, xs_pad,
                        masks_pad), b_sz
 
     xs_eff = _apply_masks_xla(xs, masks, keep)
@@ -1218,8 +1253,8 @@ def _seed_cotangent(seed):
 
 def _fused_bwd(reverse, bf16, keep, mask_from_x, residuals, g):
     if bf16:
-        (w_ih, w_hh, xs, masks, seed, h_pad, c_pad, z_pad, h_bound, c_bound,
-         xs_pad, masks_pad) = residuals
+        (w_ih, w_hh, xs, masks, seed, h_pad, c_pad, z_pad, tc_pad, h_bound,
+         c_bound, xs_pad, masks_pad) = residuals
         b_sz = xs[0].shape[0]
         pad_b = z_pad.shape[0] - b_sz
         bt = _pick_tile(z_pad.shape[0], _FUSED_BATCH_TILE)
@@ -1228,7 +1263,7 @@ def _fused_bwd(reverse, bf16, keep, mask_from_x, residuals, g):
         dxs, dw_ih, dw_hh, db = lstm_bwd_fused(
             z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, g_in, w_ih, w_hh,
             masks_pad, keep, seed, mask_from_x=mask_from_x,
-            batch_tile=bt, t_chunk=tc,
+            tc_seq=tc_pad, batch_tile=bt, t_chunk=tc,
             interpret=_auto_interpret(None), reverse=reverse,
         )
         return (dw_ih, dw_hh, db,
@@ -1345,7 +1380,8 @@ def _bilstm_bwd(bf16, keep, mask_from_x, residuals, g):
     b_sz = xs[0].shape[0]
 
     if bf16:
-        h_pad, c_pad, z_pad, h_bound, c_bound, xs_pad, masks_pad = res_f
+        (h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound, xs_pad,
+         masks_pad) = res_f
         pad_b = z_pad.shape[0] - b_sz
         bt = _pick_tile(z_pad.shape[0], _FUSED_BATCH_TILE)
         tc = _pick_tile(z_pad.shape[1], _FUSED_T_CHUNK)
@@ -1354,14 +1390,15 @@ def _bilstm_bwd(bf16, keep, mask_from_x, residuals, g):
         dxs_f, dwih_f, dwhh_f, db_f = lstm_bwd_fused(
             z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, pad(g_f),
             pf["w_ih"], pf["w_hh"], masks_pad, keep, seed,
-            mask_from_x=mask_from_x,
+            mask_from_x=mask_from_x, tc_seq=tc_pad,
             batch_tile=bt, t_chunk=tc, interpret=_auto_interpret(None),
             reverse=False)
-        h_pad, c_pad, z_pad, h_bound, c_bound, xs_pad, masks_pad = res_r
+        (h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound, xs_pad,
+         masks_pad) = res_r
         dxs, dwih_b, dwhh_b, db_b = lstm_bwd_fused(
             z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, pad(g_r),
             pb["w_ih"], pb["w_hh"], masks_pad, keep, seed, dxs_f,
-            mask_from_x=mask_from_x,
+            mask_from_x=mask_from_x, tc_seq=tc_pad,
             batch_tile=bt, t_chunk=tc, interpret=_auto_interpret(None),
             reverse=True)
         dxs = tuple(d[:b_sz].astype(p.dtype) for d, p in zip(dxs, xs))
