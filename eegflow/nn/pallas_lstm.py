@@ -49,6 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 # (the backward kernels are VPU-bound — see docs/ROUND3_RESULTS.md).
 _BWD_TC = int(_os.environ.get("EEGFLOW_BWD_TC", "0"))
 
+# A/B flag: store the (B, T, 4H) post-activation gate residual in bf16
+# instead of f32. The gates live in [-1, 1], so bf16 costs ~0.4% relative
+# error on the adjoint's gate derivatives while halving the largest
+# residual stream (537 MB -> 268 MB per layer-direction at B=512/T=256):
+# the forward kernel is DMA-bound on residual writes and the backward
+# re-reads the same bytes.
+_RES_BF16 = int(_os.environ.get("EEGFLOW_RES_BF16", "0"))
+
 
 def _sigmoid(x):
     """sigmoid via the tanh identity: Mosaic's tanh is ~2x cheaper than the
@@ -422,7 +430,8 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         # residual = the POST-activation gates, not z: the adjoint then needs
         # only multiplies (gate'(z) in terms of the activation) + one tanh(c),
         # instead of re-evaluating 4 transcendental passes per step
-        z_out[:, i, :] = jnp.concatenate([gi, gf, gg, go], axis=-1)
+        z_out[:, i, :] = jnp.concatenate(
+            [gi, gf, gg, go], axis=-1).astype(z_out.dtype)
 
 
 @functools.partial(
@@ -499,7 +508,9 @@ def lstm_fwd_fused_proj(
         + ((blk(hidden),) if _BWD_TC else ())
         + (bound_spec, bound_spec),
         out_shape=(seq_h, seq_h,
-                   jax.ShapeDtypeStruct((bsz, t, 4 * hidden), jnp.float32))
+                   jax.ShapeDtypeStruct(
+                       (bsz, t, 4 * hidden),
+                       jnp.bfloat16 if _RES_BF16 else jnp.float32))
         + ((seq_h,) if _BWD_TC else ())
         + (jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32),
            jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32)),
@@ -607,7 +618,9 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         else:
             c_prev = c_ref[:, prev, :]
             h_prev = h_ref[:, prev, :]
-        g_act = z_ref[:, i_t, :]  # post-activation gates saved by the forward
+        # post-activation gates saved by the forward (f32, or bf16 under
+        # EEGFLOW_RES_BF16 — upcast per block in VMEM)
+        g_act = z_ref[:, i_t, :].astype(jnp.float32)
         gi = g_act[:, :hidden]
         gf = g_act[:, hidden : 2 * hidden]
         gg = g_act[:, 2 * hidden : 3 * hidden]
@@ -763,7 +776,8 @@ def _bwd_fused_kernel_v2(*refs, t_chunk: int, hidden: int, reverse: bool,
         else:
             c_prev = c_ref[:, prev, :]
             h_prev = h_ref[:, prev, :]
-        g_act = z_ref[:, i_t, :]  # post-activation gates saved by the forward
+        # post-activation gates saved by the forward (f32 or bf16)
+        g_act = z_ref[:, i_t, :].astype(jnp.float32)
         gi = g_act[:, :hidden]
         gf = g_act[:, hidden : 2 * hidden]
         gg = g_act[:, 2 * hidden : 3 * hidden]
@@ -885,7 +899,11 @@ def lstm_bwd_fused(
     assert bsz % batch_tile == 0 and t % t_chunk == 0
     n_chunks = t // t_chunk
 
-    z_seq = z_seq.astype(jnp.float32)
+    if z_seq.dtype != jnp.bfloat16:
+        # bf16 gate residuals stream in as-is (EEGFLOW_RES_BF16) — a host
+        # upcast here would materialize the f32 copy in HBM and defeat the
+        # halved stream; the kernel casts per block in VMEM instead
+        z_seq = z_seq.astype(jnp.float32)
     c_seq = c_seq.astype(jnp.float32)
     h_seq = h_seq.astype(jnp.float32)
     if _BWD_V2:
