@@ -35,6 +35,26 @@ def weighted_epoch_indices(
     return rng.choice(len(y), size=n, replace=True, p=p)
 
 
+def phase_surrogate(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Fourier phase surrogate per sample/channel: randomize every phase,
+    keep the amplitude spectrum bit-exact (DC and Nyquist stay real).
+
+    Any feature of the per-channel amplitude spectrum (band powers — the
+    synthetic biomarker, and 16/20 of the reference's features,
+    ref 03_feature_extraction.py:52-214) is invariant under this map, while
+    the time-domain waveform the network could memorize is destroyed. Used
+    as an anti-subject-memorization augmentation for small subject counts.
+    """
+    n, t, c = x.shape
+    spec = np.fft.rfft(x, axis=1)
+    phases = rng.uniform(0.0, 2.0 * np.pi, spec.shape)
+    phases[:, 0, :] = 0.0  # DC stays real
+    if t % 2 == 0:
+        phases[:, -1, :] = 0.0  # Nyquist stays real
+    return np.fft.irfft(np.abs(spec) * np.exp(1j * phases),
+                        n=t, axis=1).astype(x.dtype)
+
+
 def augment_data(
     x: np.ndarray,
     y: np.ndarray,
@@ -43,6 +63,7 @@ def augment_data(
     max_shift: int = 5,
     mixup: bool = False,
     channel_dropout: float = 0.0,
+    phase_surrogates: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """3x augmentation (ref 04:290-312): original + Gaussian noise + circular
     time shift (per-sample random shift in [-max_shift, max_shift]).
@@ -52,13 +73,16 @@ def augment_data(
     reference skips the shifted copy when shift==0 (~1/11 of samples); we keep
     it for static shapes, so augmented size is exactly 3N.
 
-    Two optional regularizers beyond the reference (for small-subject-count
+    Three optional regularizers beyond the reference (for small-subject-count
     generalization — the model memorizes subjects below ~20 of them):
     ``mixup`` adds a 4th copy of within-class convex mixes
     (lam ~ Beta(0.4, 0.4), partner drawn from the same class, hard labels
     kept so the weighted-CE loss is unchanged); ``channel_dropout`` adds a
     5th copy with each channel independently zeroed with this probability
-    (forces the classifier off any single electrode).
+    (forces the classifier off any single electrode); ``phase_surrogates``
+    adds that many Fourier phase-surrogate copies (amplitude spectrum kept
+    bit-exact, waveform randomized — forces spectral features; see
+    :func:`phase_surrogate`).
     """
     n, t, c = x.shape
     noise = x + rng.normal(0.0, noise_std, x.shape).astype(x.dtype)
@@ -79,6 +103,9 @@ def augment_data(
         keep = (rng.random((n, 1, c)) >= channel_dropout).astype(x.dtype)
         # rescale like inverted dropout so per-window power is preserved
         copies_x.append(x * keep / max(1.0 - channel_dropout, 1e-6))
+        copies_y.append(y)
+    for _ in range(phase_surrogates):
+        copies_x.append(phase_surrogate(x, rng))
         copies_y.append(y)
     return np.concatenate(copies_x, axis=0), np.concatenate(copies_y, axis=0)
 

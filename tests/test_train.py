@@ -269,3 +269,22 @@ def test_augment_mixup_and_channel_dropout(rng):
     bx, by = augment_data(x, y, np.random.default_rng(0))
     assert bx.shape == (60, 16, 4)
     np.testing.assert_array_equal(bx[:20], x)
+
+
+def test_augment_phase_surrogate(rng):
+    from eegflow.train.data import augment_data, phase_surrogate
+
+    x = rng.standard_normal((8, 32, 3)).astype(np.float32)
+    s = phase_surrogate(x, np.random.default_rng(1))
+    assert s.shape == x.shape and s.dtype == x.dtype
+    # amplitude spectrum preserved per sample/channel, waveform randomized
+    np.testing.assert_allclose(np.abs(np.fft.rfft(s, axis=1)),
+                               np.abs(np.fft.rfft(x, axis=1)),
+                               rtol=0, atol=1e-3)
+    assert np.abs(s - x).max() > 0.1
+    # two surrogate copies through augment_data are distinct draws
+    y = rng.integers(0, 2, 8)
+    ax, ay = augment_data(x, y, np.random.default_rng(2), phase_surrogates=2)
+    assert ax.shape == (40, 32, 3)
+    np.testing.assert_array_equal(ay, np.tile(y, 5))
+    assert np.abs(ax[24:32] - ax[32:]).max() > 0.1

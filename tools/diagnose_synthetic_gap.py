@@ -99,12 +99,43 @@ def auc_mcc(y_true, probs):
             float(matthews_corrcoef(y_true, pred)))
 
 
+def alpha_probe_oracle(xtr, ytr, xte, yte, fs: float = 500.0):
+    """Logistic regression on log alpha-band power per channel, computed from
+    the EXACT window tensors the LSTM consumes.
+
+    This bounds the gap's cause: if a linear readout of one fixed spectral
+    feature of the LSTM's own input separates the test subjects, the
+    information is present and linearly decodable — the LSTM's shortfall is
+    inductive (what SGD finds first), not informational.
+    """
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.metrics import roc_auc_score
+
+    def feats(x):
+        # x (N, T, C): alpha (8-13 Hz) log band power per channel via rFFT
+        spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+        freqs = np.fft.rfftfreq(x.shape[1], 1.0 / fs)
+        band = (freqs >= 8.0) & (freqs <= 13.0)
+        return np.log(spec[:, band, :].mean(axis=1) + 1e-12)
+
+    clf = LogisticRegression(max_iter=2000)
+    clf.fit(feats(xtr), ytr)
+    p_tr = clf.predict_proba(feats(xtr))[:, 1]
+    p_te = clf.predict_proba(feats(xte))[:, 1]
+    return {
+        "train_auc": round(float(roc_auc_score(ytr, p_tr)), 4),
+        "test_auc": round(float(roc_auc_score(yte, p_te)), 4),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/diag24")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--variants", default=None,
                     help="comma list to restrict (e.g. base,perwin)")
+    ap.add_argument("--oracle", action="store_true",
+                    help="run the alpha-band linear-probe oracle only")
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -116,6 +147,17 @@ def main():
     xtr, ytr = arrays["X_train"], arrays["y_train"]
     xva, yva = arrays["X_val"], arrays["y_val"]
     xte, yte = arrays["X_test"], arrays["y_test"]
+
+    results_path = out / "diagnosis.json"
+    if args.oracle:
+        rec = alpha_probe_oracle(xtr, ytr, xte, yte,
+                                 fs=float(meta["sampling_rate"]))
+        results = (json.loads(results_path.read_text())
+                   if results_path.exists() else {})
+        results["oracle-alpha-probe"] = rec
+        results_path.write_text(json.dumps(results, indent=2))
+        print(f"[oracle-alpha-probe] {rec}", flush=True)
+        return 0
 
     from eegflow.core.config import ModelConfig, TrainConfig
     from eegflow.train.data import augment_data
@@ -155,6 +197,18 @@ def main():
                         "patience": 40},
         "wd1e-2": {"weight_decay": 1e-2},
         "perwin+mixreg": {"aug_mixup": True, "aug_channel_dropout": 0.1},
+        # complete the lr sweep downward: both raises hurt, so test whether a
+        # gentler descent finds the invariant feature before memorizing
+        "lr1e-4+long": {"learning_rate": 1e-4, "patience": 40},
+        # oracle-informed third pass: the alpha probe proves the amplitude
+        # SPECTRUM of the exact input tensors separates test subjects at
+        # AUC 1.0, so force the network onto spectral features with
+        # spectrum-preserving augmentations (keys starting with "_" are
+        # augment_data kwargs, not TrainConfig fields)
+        "fullshift": {"_max_shift": 128, "patience": 40},
+        "surrogate3": {"_phase_surrogates": 3, "patience": 40},
+        "surrogate3+fullshift": {"_phase_surrogates": 3, "_max_shift": 128,
+                                 "patience": 40},
     }
     if args.variants:
         keep = set(args.variants.split(","))
@@ -167,15 +221,18 @@ def main():
         if name in results:
             print(f"[{name}] cached: {results[name]}", flush=True)
             continue
+        aug_kw = {k[1:]: overrides.pop(k) for k in list(overrides)
+                  if k.startswith("_")}
         cfg = dataclasses.replace(base, **overrides)
-        if cfg.aug_mixup or cfg.aug_channel_dropout > 0.0:
-            # mixup/channel-dropout are extra augment_data copies (like
-            # cmd_train applies them) — re-augment for this variant
+        if cfg.aug_mixup or cfg.aug_channel_dropout > 0.0 or aug_kw:
+            # mixup/channel-dropout/surrogates are extra augment_data copies
+            # (like cmd_train applies them) — re-augment for this variant
             rng_v = np.random.default_rng(cfg.seed)
             x_aug_v, y_aug_v = augment_data(
                 xtr, ytr, rng_v, noise_std=cfg.noise_std,
-                max_shift=cfg.max_shift, mixup=cfg.aug_mixup,
-                channel_dropout=cfg.aug_channel_dropout)
+                max_shift=aug_kw.pop("max_shift", cfg.max_shift),
+                mixup=cfg.aug_mixup,
+                channel_dropout=cfg.aug_channel_dropout, **aug_kw)
         else:
             x_aug_v, y_aug_v = xtr_aug, ytr_aug
         if name.startswith("perwin"):
