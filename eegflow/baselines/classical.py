@@ -129,9 +129,13 @@ def train_gradient_boosting(
 
         sample_weight = np.where(np.asarray(y_train) == 1, pos_weight, 1.0)
         for g in grid:
+            # max_bins=63: histogram cost scales with features x bins; at the
+            # 1220-feature parity shape 63 bins is ~4x faster than the default
+            # 255 at equal val accuracy (measured single-core, round 3)
             model = HistGradientBoostingClassifier(
                 max_iter=g["n_estimators"], max_depth=g["max_depth"],
                 learning_rate=g["learning_rate"], random_state=seed,
+                max_bins=63,
             )
             model.fit(x_train, y_train, sample_weight=sample_weight)
             candidates.append(model)
