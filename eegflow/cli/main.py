@@ -250,7 +250,8 @@ def cmd_train(args):
         x_train, y_train = augment_data(x_train, y_train, rng,
                                         train_cfg.noise_std, train_cfg.max_shift,
                                         mixup=train_cfg.aug_mixup,
-                                        channel_dropout=train_cfg.aug_channel_dropout)
+                                        channel_dropout=train_cfg.aug_channel_dropout,
+                                        phase_surrogates=train_cfg.aug_phase_surrogates)
         print(f"augmented train set: {x_train.shape}")
 
     mesh = None

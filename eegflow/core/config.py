@@ -132,6 +132,11 @@ class TrainConfig:
     # channel-dropout copy (see eegflow.train.data.augment_data)
     aug_mixup: bool = False
     aug_channel_dropout: float = 0.0
+    # Fourier phase-surrogate copies (amplitude spectrum kept bit-exact,
+    # waveform randomized): the strongest anti-subject-memorization
+    # regularizer when the target is spectral (see the round-3 synthetic-gap
+    # diagnosis, docs/ROUND3_RESULTS.md)
+    aug_phase_surrogates: int = 0
     # the CLI auto-enables the two regularizers above on <12-subject runs;
     # an explicit aug_mixup=false / aug_channel_dropout=0.0 in a config file
     # is indistinguishable from the defaults, so ablations that must keep
