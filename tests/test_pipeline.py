@@ -44,7 +44,9 @@ def run(base, *cmd):
 
 def test_stage_synth(pipeline_dirs):
     base, data_dir, _ = pipeline_dirs
-    run(base, "synth", "--subjects", "4", "--duration", "20", "--channels", "8")
+    # 15 s/recording keeps >50 train windows (4 recs x ~57) while holding the
+    # whole module's train/explain/ablate stages ~25% cheaper on 1 CPU core
+    run(base, "synth", "--subjects", "4", "--duration", "15", "--channels", "8")
     assert len(list(data_dir.glob("sub-*/ses-*/eeg/*.vhdr"))) == 8
 
 
@@ -208,7 +210,7 @@ def test_parity_runner_synthetic(tmp_path):
     cfg.to_json(cfg_path)
     rc = main(["--data-dir", str(data_dir), "--output-dir", str(out),
                "--config", str(cfg_path), "parity", "--synthetic",
-               "--subjects", "4", "--duration", "20", "--epochs", "2"])
+               "--subjects", "4", "--duration", "15", "--epochs", "2"])
     assert rc == 0
     report = json.loads((out / "results" / "parity_report.json").read_text())
     assert report["comparable"] is False
