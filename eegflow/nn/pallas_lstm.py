@@ -57,6 +57,21 @@ _BWD_TC = int(_os.environ.get("EEGFLOW_BWD_TC", "0"))
 # re-reads the same bytes.
 _RES_BF16 = int(_os.environ.get("EEGFLOW_RES_BF16", "0"))
 
+# A/B flag: precompute the adjoint's gate products in the FORWARD kernel
+# (which is DMA-bound, i.e. has VPU slack) and store six bounded residual
+# planes instead of the four raw gate activations:
+#   A = g * i(1-i)        B = c_prev * f(1-f)     C = i * (1 - g^2)
+#   E = o * (1 - tanh(c)^2)   F = f   G = tanh(c) * o(1-o)
+# The VPU-bound backward chain then collapses to
+#   dh = g_out + dh_carry; dc = dh*E + dc_carry;
+#   dz = [dc*A, dc*B, dc*C, dh*G]; dc_carry = dc*F
+# (~8 elementwise H-ops/step vs ~35, no transcendental) and needs NEITHER
+# the c stream NOR c boundaries — B absorbs c_prev — so total backward DMA
+# is unchanged (6H residual + h vs 4H + c + h) and the forward drops the
+# (B, T, H) c_seq output entirely. Exact reassociation of the same math
+# (f32-path kernel tests pass at 1e-5 vs scan autodiff).
+_ADJ_RES = int(_os.environ.get("EEGFLOW_ADJOINT_RES", "0"))
+
 
 def _sigmoid(x):
     """sigmoid via the tanh identity: Mosaic's tanh is ~2x cheaper than the
@@ -355,7 +370,7 @@ def _prng_masked(x, maskv, i):
 def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                      n_parts: int, n_masks: int, keep: float,
                      prng_dropout: bool, n_chunks: int,
-                     stream_tc: bool = False):
+                     stream_tc: bool = False, adjoint_res: bool = False):
     """One (batch_tile, time_chunk) grid step: project + recurrence, storing
     (h, c, gates) f32 residuals. The projection matmuls are independent across
     steps, so the MXU pipelines them behind the serial recurrence chain.
@@ -374,7 +389,13 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         seed_ref = refs[o]
         o += 1
     wih_refs = refs[o : o + n_parts]
-    if stream_tc:
+    if adjoint_res:
+        # no c_seq output: the precomputed residuals absorb c_prev (B) and
+        # tanh(c) (E, G), so the adjoint never reads the cell sequence
+        (b_ref, whh_ref, h_out, z_out, hb_out, cb_out,
+         h_sc, c_sc) = refs[o + n_parts :]
+        c_out = tc_out = None
+    elif stream_tc:
         (b_ref, whh_ref, h_out, c_out, z_out, tc_out, hb_out, cb_out,
          h_sc, c_sc) = refs[o + n_parts :]
     else:
@@ -416,12 +437,25 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         gf = _sigmoid(z[:, hidden : 2 * hidden])
         gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
         go = _sigmoid(z[:, 3 * hidden :])
-        c_new = gf * c_sc[:] + gi * gg
+        c_prev = c_sc[:]
+        c_new = gf * c_prev + gi * gg
         tc_new = jnp.tanh(c_new)
         h_new = go * tc_new
         h_sc[:] = h_new
         c_sc[:] = c_new
         h_out[:, i, :] = h_new
+        if adjoint_res:
+            # precomputed adjoint residuals (see _ADJ_RES): the forward has
+            # VPU slack (it is DMA-bound), the backward does not
+            z_out[:, i, :] = jnp.concatenate(
+                [gg * (gi * (1.0 - gi)),
+                 c_prev * (gf * (1.0 - gf)),
+                 gi * (1.0 - gg * gg),
+                 go * (1.0 - tc_new * tc_new),
+                 gf,
+                 tc_new * (go * (1.0 - go))],
+                axis=-1).astype(z_out.dtype)
+            continue
         c_out[:, i, :] = c_new
         if stream_tc:
             # stream tanh(c) (computed here anyway) so the VPU-bound adjoint
@@ -490,12 +524,17 @@ def lstm_fwd_fused_proj(
     bound_spec = pl.BlockSpec((batch_tile, hidden), bound_idx,
                               memory_space=pltpu.VMEM)
 
+    assert not (_ADJ_RES and _BWD_TC), "EEGFLOW_ADJOINT_RES subsumes BWD_TC"
+    res_width = (6 if _ADJ_RES else 4) * hidden
     kernel = functools.partial(_fwd_proj_kernel, t_chunk=t_chunk,
                                hidden=hidden, reverse=reverse,
                                n_parts=len(xs), n_masks=len(masks),
                                keep=keep, prng_dropout=prng,
-                               n_chunks=n_chunks, stream_tc=bool(_BWD_TC))
+                               n_chunks=n_chunks, stream_tc=bool(_BWD_TC),
+                               adjoint_res=bool(_ADJ_RES))
     seq_h = jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32)
+    res_shape = jax.ShapeDtypeStruct(
+        (bsz, t, res_width), jnp.bfloat16 if _RES_BF16 else jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -504,13 +543,14 @@ def lstm_fwd_fused_proj(
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if prng else [])
         + [const(w, 4 * hidden) for w in widths]
         + [const(1, 4 * hidden), const(hidden, 4 * hidden)],
-        out_specs=(blk(hidden), blk(hidden), blk(4 * hidden))
+        out_specs=(blk(hidden),)
+        + (() if _ADJ_RES else (blk(hidden),))
+        + (blk(res_width),)
         + ((blk(hidden),) if _BWD_TC else ())
         + (bound_spec, bound_spec),
-        out_shape=(seq_h, seq_h,
-                   jax.ShapeDtypeStruct(
-                       (bsz, t, 4 * hidden),
-                       jnp.bfloat16 if _RES_BF16 else jnp.float32))
+        out_shape=(seq_h,)
+        + (() if _ADJ_RES else (seq_h,))
+        + (res_shape,)
         + ((seq_h,) if _BWD_TC else ())
         + (jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32),
            jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32)),
@@ -527,7 +567,9 @@ def lstm_fwd_fused_proj(
       *([jnp.asarray(dropout_seed, jnp.int32)] if prng else []),
       *[w.astype(jnp.bfloat16) for w in w_parts],
       b.reshape(1, -1).astype(jnp.float32), w_hh.astype(jnp.bfloat16))
-    if _BWD_TC:
+    if _ADJ_RES:
+        (h, z, hb, cb), c, tc_seq = outs, None, None
+    elif _BWD_TC:
         h, c, z, tc_seq, hb, cb = outs
     else:
         (h, c, z, hb, cb), tc_seq = outs, None
@@ -537,7 +579,8 @@ def lstm_fwd_fused_proj(
 def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                       n_parts: int, n_masks: int, keep: float,
                       prng_dropout: bool, n_chunks: int, n_dxadd: int = 0,
-                      mask_from_x: bool = False, stream_tc: bool = False):
+                      mask_from_x: bool = False, stream_tc: bool = False,
+                      adjoint_res: bool = False):
     """Adjoint step producing per-part dx and accumulating (dW_ih parts,
     dW_hh, db) into VMEM-resident output blocks. Standard LSTM adjoint,
     gate order i,f,g,o. In-kernel dropout (PRNG seed or uint8 masks)
@@ -559,8 +602,14 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     (``n_masks > 0`` path, validated by tools/check_prng_dropout.py). ``n_dxadd`` extra per-part inputs are added into
     dx on the way out (the sibling direction's dx — fuses the XLA add of
     the two directions' input cotangents)."""
-    z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = refs[:6]
-    o = 6
+    if adjoint_res:
+        # no c stream: the precomputed residuals absorb c_prev and tanh(c)
+        z_ref, g_ref, h_ref, hb_ref = refs[:4]
+        c_ref = cb_ref = None
+        o = 4
+    else:
+        z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = refs[:6]
+        o = 6
     if stream_tc:
         tc_ref = refs[o]
         o += 1
@@ -613,21 +662,25 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
             boundary = i_t == 0
             prev = i_t - 1
         if boundary:
-            c_prev = cb_ref[:]
             h_prev = hb_ref[:]
         else:
-            c_prev = c_ref[:, prev, :]
             h_prev = h_ref[:, prev, :]
-        # post-activation gates saved by the forward (f32, or bf16 under
-        # EEGFLOW_RES_BF16 — upcast per block in VMEM)
-        g_act = z_ref[:, i_t, :].astype(jnp.float32)
-        gi = g_act[:, :hidden]
-        gf = g_act[:, hidden : 2 * hidden]
-        gg = g_act[:, 2 * hidden : 3 * hidden]
-        go = g_act[:, 3 * hidden :]
-        # tanh(c): streamed from the forward when EEGFLOW_BWD_TC=1 (kills a
-        # per-step transcendental in this VPU-bound kernel), else recomputed
-        tc_ = tc_ref[:, i_t, :] if stream_tc else jnp.tanh(c_ref[:, i_t, :])
+        if adjoint_res:
+            res = z_ref[:, i_t, :].astype(jnp.float32)
+        else:
+            c_prev = cb_ref[:] if boundary else c_ref[:, prev, :]
+            # post-activation gates saved by the forward (f32, or bf16 under
+            # EEGFLOW_RES_BF16 — upcast per block in VMEM)
+            g_act = z_ref[:, i_t, :].astype(jnp.float32)
+            gi = g_act[:, :hidden]
+            gf = g_act[:, hidden : 2 * hidden]
+            gg = g_act[:, 2 * hidden : 3 * hidden]
+            go = g_act[:, 3 * hidden :]
+            # tanh(c): streamed from the forward when EEGFLOW_BWD_TC=1 (kills
+            # a per-step transcendental in this VPU-bound kernel), else
+            # recomputed
+            tc_ = (tc_ref[:, i_t, :] if stream_tc
+                   else jnp.tanh(c_ref[:, i_t, :]))
 
         def adjoint_chain(dh_carry, dc_carry, g_scale=None):
             # the serial gate-adjoint chain: everything between reading the
@@ -635,17 +688,30 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
             dh = g_ref[:, i_t, :] + dh_carry[:]
             if g_scale is not None:  # probe only: defeat CSE with the primary
                 dh = dh * g_scale
-            do = dh * tc_
-            dc = dh * go * (1.0 - tc_ * tc_) + dc_carry[:]
-            di = dc * gg
-            df = dc * c_prev
-            dg = dc * gi
-            dc_carry[:] = dc * gf
-            dz = jnp.concatenate(
-                [di * gi * (1.0 - gi), df * gf * (1.0 - gf),
-                 dg * (1.0 - gg * gg), do * go * (1.0 - go)],
-                axis=-1,
-            )
+            if adjoint_res:
+                # residuals [A, B, C, E, F, G] precomputed by the forward:
+                # 7 multiplies + 2 adds per step, no transcendental
+                dc = dh * res[:, 3 * hidden : 4 * hidden] + dc_carry[:]
+                dc_carry[:] = dc * res[:, 4 * hidden : 5 * hidden]
+                dz = jnp.concatenate(
+                    [dc * res[:, :hidden],
+                     dc * res[:, hidden : 2 * hidden],
+                     dc * res[:, 2 * hidden : 3 * hidden],
+                     dh * res[:, 5 * hidden :]],
+                    axis=-1,
+                )
+            else:
+                do = dh * tc_
+                dc = dh * go * (1.0 - tc_ * tc_) + dc_carry[:]
+                di = dc * gg
+                df = dc * c_prev
+                dg = dc * gi
+                dc_carry[:] = dc * gf
+                dz = jnp.concatenate(
+                    [di * gi * (1.0 - gi), df * gf * (1.0 - gf),
+                     dg * (1.0 - gg * gg), do * go * (1.0 - go)],
+                    axis=-1,
+                )
             dz16 = dz.astype(jnp.bfloat16)
             dh_carry[:] = jnp.dot(dz16, whh_t_ref[:],
                                   preferred_element_type=jnp.float32)
@@ -892,8 +958,11 @@ def lstm_bwd_fused(
     assert not masks or len(masks) == len(xs)
     assert not dx_add or len(dx_add) == len(xs)
     assert not (masks and prng)
-    bsz, t, g4 = z_seq.shape
-    hidden = g4 // 4
+    bsz, t, res_w = z_seq.shape
+    # residual width: 4H raw gate activations, or 6H precomputed adjoint
+    # products under EEGFLOW_ADJOINT_RES (which also drops the c stream)
+    hidden = res_w // (6 if _ADJ_RES else 4)
+    g4 = 4 * hidden
     widths = [p.shape[-1] for p in xs]
     w_parts = _split_rows(w_ih, widths)
     assert bsz % batch_tile == 0 and t % t_chunk == 0
@@ -904,7 +973,10 @@ def lstm_bwd_fused(
         # upcast here would materialize the f32 copy in HBM and defeat the
         # halved stream; the kernel casts per block in VMEM instead
         z_seq = z_seq.astype(jnp.float32)
-    c_seq = c_seq.astype(jnp.float32)
+    if _ADJ_RES:
+        assert c_seq is None and not _BWD_V2 and tc_seq is None
+    else:
+        c_seq = c_seq.astype(jnp.float32)
     h_seq = h_seq.astype(jnp.float32)
     if _BWD_V2:
         tc_seq = None  # the two-pass kernel keeps its own recompute
@@ -931,19 +1003,25 @@ def lstm_bwd_fused(
         keep=keep, prng_dropout=prng,
         n_chunks=n_chunks, n_dxadd=len(dx_add),
         mask_from_x=mask_from_x,
-        **({} if _BWD_V2 else {"stream_tc": stream_tc}))
+        **({} if _BWD_V2 else {"stream_tc": stream_tc,
+                               "adjoint_res": bool(_ADJ_RES)}))
     n_p = len(xs)
     outs = pl.pallas_call(
         kernel,
         grid=(bsz // batch_tile, n_chunks),
-        in_specs=[
+        in_specs=([
+            blk(res_w),                                  # adjoint residuals
+            blk(hidden),                                 # upstream grad
+            blk(hidden),                                 # h
+            bound_spec,                                  # h boundary
+        ] if _ADJ_RES else [
             blk(g4),                                     # gates
             blk(hidden),                                 # c
             bound_spec,                                  # c boundary
             blk(hidden),                                 # upstream grad
             blk(hidden),                                 # h
             bound_spec,                                  # h boundary
-        ]
+        ])
         + ([blk(hidden)] if stream_tc else [])           # tanh(c) stream
         + [blk(w) for w in widths]                       # x parts
         + [blk(w) for w, _ in zip(widths, masks)]        # dropout masks
@@ -972,7 +1050,9 @@ def lstm_bwd_fused(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        z_seq, c_seq, c_bound, g_out.astype(jnp.float32), h_seq, h_bound,
+        *((z_seq, g_out.astype(jnp.float32), h_seq, h_bound) if _ADJ_RES
+          else (z_seq, c_seq, c_bound, g_out.astype(jnp.float32), h_seq,
+                h_bound)),
         *([tc_seq.astype(jnp.float32)] if stream_tc else []),
         *[p.astype(jnp.float32) for p in xs],
         *[m.astype(jnp.uint8) for m in masks],
