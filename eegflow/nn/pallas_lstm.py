@@ -370,7 +370,8 @@ def _prng_masked(x, maskv, i):
 def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                      n_parts: int, n_masks: int, keep: float,
                      prng_dropout: bool, n_chunks: int,
-                     stream_tc: bool = False, adjoint_res: bool = False):
+                     stream_tc: bool = False, adjoint_res: bool = False,
+                     emit_residuals: bool = True):
     """One (batch_tile, time_chunk) grid step: project + recurrence, storing
     (h, c, gates) f32 residuals. The projection matmuls are independent across
     steps, so the MXU pipelines them behind the serial recurrence chain.
@@ -389,7 +390,13 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         seed_ref = refs[o]
         o += 1
     wih_refs = refs[o : o + n_parts]
-    if adjoint_res:
+    if not emit_residuals:
+        # inference/primal mode: the VJP will never run, so skip every
+        # residual stream (gates, c_seq, boundaries) — at B=512/H=256 that
+        # is ~800 MB of pure-waste HBM writes per layer-direction
+        (b_ref, whh_ref, h_out, h_sc, c_sc) = refs[o + n_parts :]
+        c_out = z_out = tc_out = hb_out = cb_out = None
+    elif adjoint_res:
         # no c_seq output: the precomputed residuals absorb c_prev (B) and
         # tanh(c) (E, G), so the adjoint never reads the cell sequence
         (b_ref, whh_ref, h_out, z_out, hb_out, cb_out,
@@ -407,11 +414,13 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         h_sc[:] = jnp.zeros_like(h_sc)
         c_sc[:] = jnp.zeros_like(c_sc)
 
-    # chunk-boundary carries for the backward pass, written here so the
-    # adjoint never strided-slices the big (B, T, H) sequences (XLA lowers
-    # that to a full 134 MB layout-transposing copy per tensor at B=512)
-    hb_out[:] = h_sc[:]
-    cb_out[:] = c_sc[:]
+    if emit_residuals:
+        # chunk-boundary carries for the backward pass, written here so the
+        # adjoint never strided-slices the big (B, T, H) sequences (XLA
+        # lowers that to a full 134 MB layout-transposing copy per tensor
+        # at B=512)
+        hb_out[:] = h_sc[:]
+        cb_out[:] = c_sc[:]
 
     inv_keep = 1.0 / keep
     if prng_dropout:
@@ -444,6 +453,8 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         h_sc[:] = h_new
         c_sc[:] = c_new
         h_out[:, i, :] = h_new
+        if not emit_residuals:
+            continue
         if adjoint_res:
             # precomputed adjoint residuals (see _ADJ_RES): the forward has
             # VPU slack (it is DMA-bound), the backward does not
@@ -469,7 +480,8 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse", "keep")
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse",
+                              "keep", "need_residuals")
 )
 def lstm_fwd_fused_proj(
     xs,
@@ -481,6 +493,7 @@ def lstm_fwd_fused_proj(
     dropout_seed=None,
     batch_tile: int = 128,
     t_chunk: int = 8,
+    need_residuals: bool = True,
     interpret: bool = False,
     reverse: bool = False,
 ):
@@ -531,10 +544,25 @@ def lstm_fwd_fused_proj(
                                n_parts=len(xs), n_masks=len(masks),
                                keep=keep, prng_dropout=prng,
                                n_chunks=n_chunks, stream_tc=bool(_BWD_TC),
-                               adjoint_res=bool(_ADJ_RES))
+                               adjoint_res=bool(_ADJ_RES),
+                               emit_residuals=need_residuals)
     seq_h = jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32)
     res_shape = jax.ShapeDtypeStruct(
         (bsz, t, res_width), jnp.bfloat16 if _RES_BF16 else jnp.float32)
+    if need_residuals:
+        extra_specs = ((() if _ADJ_RES else (blk(hidden),))
+                       + (blk(res_width),)
+                       + ((blk(hidden),) if _BWD_TC else ())
+                       + (bound_spec, bound_spec))
+        extra_shapes = ((() if _ADJ_RES else (seq_h,))
+                        + (res_shape,)
+                        + ((seq_h,) if _BWD_TC else ())
+                        + (jax.ShapeDtypeStruct((bsz, n_chunks * hidden),
+                                                jnp.float32),
+                           jax.ShapeDtypeStruct((bsz, n_chunks * hidden),
+                                                jnp.float32)))
+    else:
+        extra_specs, extra_shapes = (), ()
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -543,17 +571,8 @@ def lstm_fwd_fused_proj(
         + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if prng else [])
         + [const(w, 4 * hidden) for w in widths]
         + [const(1, 4 * hidden), const(hidden, 4 * hidden)],
-        out_specs=(blk(hidden),)
-        + (() if _ADJ_RES else (blk(hidden),))
-        + (blk(res_width),)
-        + ((blk(hidden),) if _BWD_TC else ())
-        + (bound_spec, bound_spec),
-        out_shape=(seq_h,)
-        + (() if _ADJ_RES else (seq_h,))
-        + (res_shape,)
-        + ((seq_h,) if _BWD_TC else ())
-        + (jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32),
-           jax.ShapeDtypeStruct((bsz, n_chunks * hidden), jnp.float32)),
+        out_specs=(blk(hidden),) + extra_specs,
+        out_shape=(seq_h,) + extra_shapes,
         scratch_shapes=[
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # h
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # c
@@ -567,7 +586,10 @@ def lstm_fwd_fused_proj(
       *([jnp.asarray(dropout_seed, jnp.int32)] if prng else []),
       *[w.astype(jnp.bfloat16) for w in w_parts],
       b.reshape(1, -1).astype(jnp.float32), w_hh.astype(jnp.bfloat16))
-    if _ADJ_RES:
+    if not need_residuals:
+        (h,) = outs
+        c = z = tc_seq = hb = cb = None
+    elif _ADJ_RES:
         (h, z, hb, cb), c, tc_seq = outs, None, None
     elif _BWD_TC:
         h, c, z, tc_seq, hb, cb = outs
@@ -1277,7 +1299,7 @@ def _apply_masks_xla(xs, masks, keep):
 
 
 def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False, masks=(),
-                        keep=1.0, seed=None):
+                        keep=1.0, seed=None, need_residuals=True):
     """Shared forward for the custom-VJP layer (``xs`` is a tuple of input
     parts along the feature axis — a bidirectional predecessor's halves).
 
@@ -1306,6 +1328,7 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False, masks=(),
             xs_pad, w_ih, b, w_hh, masks_pad, keep, seed,
             batch_tile=bt, t_chunk=tc,
             interpret=_auto_interpret(None), reverse=reverse,
+            need_residuals=need_residuals,
         )
         return h_pad, (h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound, xs_pad,
                        masks_pad), b_sz
@@ -1315,19 +1338,23 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False, masks=(),
     gates = jnp.einsum("btd,dg->btg", x, w_ih) + b
     if pad_b:
         gates = jnp.pad(gates, ((0, pad_b), (0, 0), (0, 0)))
-    h_pad, c_pad = lstm_recurrence_pallas(
+    out = lstm_recurrence_pallas(
         gates, w_hh, batch_tile=bt, t_chunk=tc,
-        interpret=_auto_interpret(None), collect_cell=True, bf16=False,
-        reverse=reverse,
+        interpret=_auto_interpret(None), collect_cell=need_residuals,
+        bf16=False, reverse=reverse,
     )
+    h_pad, c_pad = out if need_residuals else (out, None)
     return h_pad, (gates, h_pad, c_pad), b_sz
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7, 9))
 def _lstm_layer_fused_core(w_ih, w_hh, b, xs, reverse, bf16, masks, keep,
                            seed, mask_from_x):
+    # primal = inference/eval: the VJP never runs, so skip every residual
+    # stream (~800 MB of HBM writes per layer-direction at B=512)
     h_pad, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16,
-                                         masks, keep, seed)
+                                         masks, keep, seed,
+                                         need_residuals=False)
     return h_pad[:b_sz]
 
 
@@ -1457,10 +1484,14 @@ def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6, 7))
 def _bilstm_layer_fused_core(pf, pb, xs, bf16, masks, seed, keep,
                              mask_from_x):
+    # primal = inference/eval: skip every residual stream (see
+    # _lstm_layer_fused_core)
     h_f, _, b_sz = _fused_pipeline_fwd(pf["w_ih"], pf["w_hh"], pf["b"], xs,
-                                       False, bf16, masks, keep, seed)
+                                       False, bf16, masks, keep, seed,
+                                       need_residuals=False)
     h_r, _, _ = _fused_pipeline_fwd(pb["w_ih"], pb["w_hh"], pb["b"], xs,
-                                    True, bf16, masks, keep, seed)
+                                    True, bf16, masks, keep, seed,
+                                    need_residuals=False)
     return h_f[:b_sz], h_r[:b_sz]
 
 
