@@ -55,6 +55,43 @@ def phase_surrogate(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
                         n=t, axis=1).astype(x.dtype)
 
 
+def make_surrogate_refresher(n_original: int, n_surrogates: int, seed: int):
+    """Jitted device-side per-epoch surrogate refresh: ``(x_dev, epoch) ->
+    x_dev`` regenerating the LAST ``n_original * n_surrogates`` rows as
+    fresh Fourier phase surrogates of the FIRST ``n_original`` rows.
+
+    The training set is HBM-resident (see ``train_classifier``), so the
+    refresh runs entirely on device (rFFT -> fresh phases -> irFFT): the
+    host sends only the epoch number. Fresh draws each epoch make the
+    surrogate set effectively infinite — the network cannot memorize any
+    fixed waveform, only the (preserved) amplitude spectrum.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    root = jax.random.key(seed)
+
+    @jax.jit
+    def refresh(x, epoch):
+        base = x[:n_original]
+        t = base.shape[1]
+        spec = jnp.abs(jnp.fft.rfft(base, axis=1))
+        copies = []
+        for k in range(n_surrogates):
+            key = jax.random.fold_in(root, epoch * 131 + k)
+            ph = jax.random.uniform(key, spec.shape, minval=0.0,
+                                    maxval=2.0 * jnp.pi)
+            ph = ph.at[:, 0, :].set(0.0)  # DC stays real
+            if t % 2 == 0:
+                ph = ph.at[:, -1, :].set(0.0)  # Nyquist stays real
+            copies.append(jnp.fft.irfft(spec * jnp.exp(1j * ph), n=t,
+                                        axis=1).astype(x.dtype))
+        head = x[: x.shape[0] - n_original * n_surrogates]
+        return jnp.concatenate([head] + copies, axis=0)
+
+    return refresh
+
+
 def augment_data(
     x: np.ndarray,
     y: np.ndarray,

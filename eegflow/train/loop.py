@@ -95,6 +95,7 @@ def train_classifier(
     checkpoint_dir=None,
     checkpoint_every: int = 10,
     resume_from=None,
+    epoch_transform=None,
 ) -> TrainResult:
     """Full training run; returns best params + history (ref 04:406-595).
 
@@ -103,6 +104,11 @@ def train_classifier(
     directory as ``resume_from`` to continue an interrupted run mid-training
     — finer granularity than the reference's whole-script resume. Epoch-level
     sampling is seeded per epoch, so a resumed run draws the same batches.
+
+    ``epoch_transform`` — optional jitted ``(x_train, epoch) -> x_train``
+    applied at the start of every epoch on the (HBM-resident) training
+    array, e.g. ``make_surrogate_refresher`` regenerating phase-surrogate
+    augmentation rows with fresh draws. Labels/row order must be preserved.
     """
     t_start = time.time()
     root_key = jax.random.key(train_cfg.seed)
@@ -188,6 +194,13 @@ def train_classifier(
 
     for epoch in range(start_epoch, train_cfg.epochs):
         ep_start = time.time()
+        if epoch_transform is not None:
+            if x_train_dev is not None:
+                x_train_dev = epoch_transform(x_train_dev,
+                                              jnp.asarray(epoch))
+            else:
+                x_train = np.asarray(epoch_transform(jnp.asarray(x_train),
+                                                     jnp.asarray(epoch)))
         # per-epoch seeded sampling: a resumed run draws the same batches
         rng = np.random.default_rng(train_cfg.seed * 1_000_003 + epoch)
         if train_cfg.weighted_sampling:

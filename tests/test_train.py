@@ -288,3 +288,42 @@ def test_augment_phase_surrogate(rng):
     assert ax.shape == (40, 32, 3)
     np.testing.assert_array_equal(ay, np.tile(y, 5))
     assert np.abs(ax[24:32] - ax[32:]).max() > 0.1
+
+
+def test_surrogate_refresher_device_side(rng):
+    from eegflow.train.data import augment_data, make_surrogate_refresher
+
+    x = rng.standard_normal((6, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 2, 6)
+    ax, _ = augment_data(x, y, np.random.default_rng(3), phase_surrogates=2)
+    refresh = make_surrogate_refresher(6, 2, seed=0)
+    r1 = np.asarray(refresh(jnp.asarray(ax), jnp.asarray(0)))
+    r2 = np.asarray(refresh(jnp.asarray(ax), jnp.asarray(1)))
+    # head rows (original + noise + shift copies) untouched
+    np.testing.assert_array_equal(r1[:18], ax[:18])
+    # tails are fresh draws per epoch, distinct from each other...
+    assert np.abs(r1[18:] - r2[18:]).max() > 0.1
+    # ...but keep the originals' amplitude spectrum (per copy block)
+    for r in (r1, r2):
+        for blk in (r[18:24], r[24:30]):
+            np.testing.assert_allclose(np.abs(np.fft.rfft(blk, axis=1)),
+                                       np.abs(np.fft.rfft(x, axis=1)),
+                                       rtol=0, atol=2e-3)
+
+
+def test_train_classifier_epoch_transform_hook(rng):
+    """epoch_transform runs per epoch on the HBM-resident training array
+    without breaking the loop (labels/shape preserved)."""
+    x, y = _toy_data(rng)
+    calls = []
+
+    def transform(xd, epoch):
+        calls.append(int(epoch))
+        return xd
+
+    import dataclasses
+    cfg = dataclasses.replace(TOY_TRAIN, epochs=2, patience=5)
+    from eegflow.train.loop import train_classifier
+    res = train_classifier(x, y, x[:16], y[:16], TOY_MODEL, cfg,
+                           verbose=False, epoch_transform=transform)
+    assert res.epochs_run >= 1 and calls[:2] == [0, 1]

@@ -209,6 +209,10 @@ def main():
         "surrogate3": {"_phase_surrogates": 3, "patience": 40},
         "surrogate3+fullshift": {"_phase_surrogates": 3, "_max_shift": 128,
                                  "patience": 40},
+        # per-epoch FRESH surrogate draws (device-side refresh): the network
+        # can never memorize a fixed surrogate waveform
+        "surrogate2-fresh": {"_phase_surrogates": 2, "_fresh": True,
+                             "patience": 40},
     }
     if args.variants:
         keep = set(args.variants.split(","))
@@ -223,6 +227,7 @@ def main():
             continue
         aug_kw = {k[1:]: overrides.pop(k) for k in list(overrides)
                   if k.startswith("_")}
+        fresh = aug_kw.pop("fresh", False)
         cfg = dataclasses.replace(base, **overrides)
         if cfg.aug_mixup or cfg.aug_channel_dropout > 0.0 or aug_kw:
             # mixup/channel-dropout/surrogates are extra augment_data copies
@@ -243,11 +248,16 @@ def main():
             xs, ys_tr = (xtr, xva, xte), ytr
         else:
             xs, ys_tr = (x_aug_v, xva, xte), y_aug_v
+        epoch_transform = None
+        if fresh:
+            from eegflow.train.data import make_surrogate_refresher
+            epoch_transform = make_surrogate_refresher(
+                len(xtr), aug_kw["phase_surrogates"], cfg.seed)
         print(f"\n[{name}] training ({overrides or 'parity defaults'})...",
               flush=True)
         t0 = time.perf_counter()
         res = train_classifier(xs[0], ys_tr, xs[1], yva, model_cfg, cfg,
-                               verbose=False)
+                               verbose=False, epoch_transform=epoch_transform)
         wall = time.perf_counter() - t0
         rec = {"epochs_run": res.epochs_run, "best_val_sel": res.best_val_f1,
                "train_wall_s": round(wall, 1),
