@@ -245,14 +245,22 @@ def cmd_train(args):
         print(f"{n_train_subj} training subjects < 12: enabling mixup + "
               "channel-dropout regularizers")
 
+    epoch_transform = None
     if train_cfg.augment:
         rng = np.random.default_rng(train_cfg.seed)
+        n_orig = len(x_train)
         x_train, y_train = augment_data(x_train, y_train, rng,
                                         train_cfg.noise_std, train_cfg.max_shift,
                                         mixup=train_cfg.aug_mixup,
                                         channel_dropout=train_cfg.aug_channel_dropout,
                                         phase_surrogates=train_cfg.aug_phase_surrogates)
         print(f"augmented train set: {x_train.shape}")
+        if train_cfg.aug_fresh_surrogates and train_cfg.aug_phase_surrogates:
+            from eegflow.train.data import make_surrogate_refresher
+
+            epoch_transform = make_surrogate_refresher(
+                n_orig, train_cfg.aug_phase_surrogates, train_cfg.seed)
+            print("per-epoch fresh surrogate refresh enabled")
 
     mesh = None
     import jax
@@ -265,7 +273,8 @@ def cmd_train(args):
 
     with jax_trace(getattr(args, "profile", None)):
         res = train_classifier(x_train, y_train, x_val, y_val, model_cfg,
-                               train_cfg, mesh=mesh)
+                               train_cfg, mesh=mesh,
+                               epoch_transform=epoch_transform)
     print(f"best val F1 {res.best_val_f1:.4f} in {res.epochs_run} epochs "
           f"({res.wall_time_s:.0f}s, {res.windows_per_sec:.0f} windows/s)")
 

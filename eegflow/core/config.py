@@ -135,8 +135,11 @@ class TrainConfig:
     # Fourier phase-surrogate copies (amplitude spectrum kept bit-exact,
     # waveform randomized): the strongest anti-subject-memorization
     # regularizer when the target is spectral (see the round-3 synthetic-gap
-    # diagnosis, docs/ROUND3_RESULTS.md)
+    # diagnosis, docs/ROUND3_RESULTS.md). With aug_fresh_surrogates the
+    # surrogate rows are regenerated ON DEVICE with fresh draws every epoch
+    # (train.data.make_surrogate_refresher) instead of staying static.
     aug_phase_surrogates: int = 0
+    aug_fresh_surrogates: bool = False
     # the CLI auto-enables the two regularizers above on <12-subject runs;
     # an explicit aug_mixup=false / aug_channel_dropout=0.0 in a config file
     # is indistinguishable from the defaults, so ablations that must keep
