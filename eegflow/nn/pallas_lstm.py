@@ -397,11 +397,12 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         (b_ref, whh_ref, h_out, h_sc, c_sc) = refs[o + n_parts :]
         c_out = z_out = tc_out = hb_out = cb_out = None
     elif adjoint_res:
-        # no c_seq output: the precomputed residuals absorb c_prev (B) and
-        # tanh(c) (E, G), so the adjoint never reads the cell sequence
-        (b_ref, whh_ref, h_out, z_out, hb_out, cb_out,
+        # no c_seq output and no c boundaries: the precomputed residuals
+        # absorb c_prev (B) and tanh(c) (E, G), so the adjoint never reads
+        # the cell state at all
+        (b_ref, whh_ref, h_out, z_out, hb_out,
          h_sc, c_sc) = refs[o + n_parts :]
-        c_out = tc_out = None
+        c_out = tc_out = cb_out = None
     elif stream_tc:
         (b_ref, whh_ref, h_out, c_out, z_out, tc_out, hb_out, cb_out,
          h_sc, c_sc) = refs[o + n_parts :]
@@ -420,7 +421,8 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         # lowers that to a full 134 MB layout-transposing copy per tensor
         # at B=512)
         hb_out[:] = h_sc[:]
-        cb_out[:] = c_sc[:]
+        if cb_out is not None:
+            cb_out[:] = c_sc[:]
 
     inv_keep = 1.0 / keep
     if prng_dropout:
@@ -550,17 +552,17 @@ def lstm_fwd_fused_proj(
     res_shape = jax.ShapeDtypeStruct(
         (bsz, t, res_width), jnp.bfloat16 if _RES_BF16 else jnp.float32)
     if need_residuals:
+        bound_shape = jax.ShapeDtypeStruct((bsz, n_chunks * hidden),
+                                           jnp.float32)
+        n_bounds = 1 if _ADJ_RES else 2  # h always; c only if adjoint reads it
         extra_specs = ((() if _ADJ_RES else (blk(hidden),))
                        + (blk(res_width),)
                        + ((blk(hidden),) if _BWD_TC else ())
-                       + (bound_spec, bound_spec))
+                       + (bound_spec,) * n_bounds)
         extra_shapes = ((() if _ADJ_RES else (seq_h,))
                         + (res_shape,)
                         + ((seq_h,) if _BWD_TC else ())
-                        + (jax.ShapeDtypeStruct((bsz, n_chunks * hidden),
-                                                jnp.float32),
-                           jax.ShapeDtypeStruct((bsz, n_chunks * hidden),
-                                                jnp.float32)))
+                        + (bound_shape,) * n_bounds)
     else:
         extra_specs, extra_shapes = (), ()
     outs = pl.pallas_call(
@@ -590,7 +592,7 @@ def lstm_fwd_fused_proj(
         (h,) = outs
         c = z = tc_seq = hb = cb = None
     elif _ADJ_RES:
-        (h, z, hb, cb), c, tc_seq = outs, None, None
+        (h, z, hb), c, tc_seq, cb = outs, None, None, None
     elif _BWD_TC:
         h, c, z, tc_seq, hb, cb = outs
     else:
