@@ -268,6 +268,12 @@ def cmd_train(args):
     if len(jax.devices()) > 1:
         mesh = make_data_mesh()
         print(f"data-parallel mesh over {len(jax.devices())} devices")
+        if epoch_transform is not None:
+            # the device-side refresh needs the single-device HBM-resident
+            # path (train_classifier would raise); static surrogates remain
+            print("mesh path: per-epoch surrogate refresh disabled "
+                  "(static surrogate copies keep working)")
+            epoch_transform = None
 
     from eegflow.core.timing import jax_trace
 

@@ -108,10 +108,15 @@ def predict_batch(
     steps = forecast_steps or model.coupling.forecast_steps
     n = len(x)
     params, k_base = model.params, model.k_base
+    lstm_impl = model.lstm_impl
     n_dev = 1
     if mesh is not None:
+        from eegflow.nn.lstm import resolve_lstm_impl
         from eegflow.train.mesh import replicate_to_mesh
 
+        # the implicit batch-sharded jit must not route through pallas_call
+        # (no GSPMD partitioning rule) — resolve "auto" mesh-aware
+        lstm_impl = resolve_lstm_impl(lstm_impl, mesh=mesh)
         n_dev = int(np.prod(list(mesh.shape.values())))
         params = replicate_to_mesh(params, mesh)
         k_base = replicate_to_mesh(k_base, mesh)
@@ -135,7 +140,7 @@ def predict_batch(
             forecast_steps=steps, alpha=model.coupling.coupling_strength,
             rate_floor=model.coupling.rate_floor,
             init_threshold=model.coupling.init_threshold,
-            lstm_impl=model.lstm_impl,
+            lstm_impl=lstm_impl,
         )
         for name, val in res.items():
             out.setdefault(name, []).append(np.asarray(val)[:k])

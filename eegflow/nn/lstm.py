@@ -103,7 +103,7 @@ def lstm_layer_apply(
     return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
 
 
-def resolve_lstm_impl(impl: Optional[str]) -> str:
+def resolve_lstm_impl(impl: Optional[str], mesh=None) -> str:
     """Resolve ``"auto"`` to the fastest implementation for the backend.
 
     Evidence (device-trace, v5e, B=512/T=256/H=256x3 — BENCH_r03 /
@@ -111,9 +111,18 @@ def resolve_lstm_impl(impl: Optional[str]) -> str:
     41.8 ms vs 184.4 ms for the scan path (4.4x) and coupled inference 5.6x
     faster, so TPU resolves to ``"pallas"``. Off-TPU the pallas kernels only
     run in (slow) interpret mode, so everything else resolves to ``"scan"``.
+
+    With a ``mesh`` on the IMPLICIT (jit + NamedSharding) path, ``"auto"``
+    stays on ``"scan"``: ``pallas_call`` has no GSPMD partitioning rule, so
+    a batch-sharded jit over the kernels would replicate or fail to lower.
+    The explicit ``shard_map`` path runs per-device programs and may pass
+    ``mesh=None`` here (each shard is a single-device call). An explicit
+    ``impl="pallas"`` is always respected.
     """
     if impl is not None and impl != "auto":
         return impl
+    if mesh is not None:
+        return "scan"
     return "pallas" if jax.default_backend() == "tpu" else "scan"
 
 

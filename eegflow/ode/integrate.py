@@ -23,6 +23,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from eegflow.ode.field import apf_field, transition_matrix
@@ -243,8 +244,12 @@ def solve_with_modulation(
                           for name in RATE_NAMES], axis=-1)
 
     if method == "expm":
-        mids = 0.5 * (t[:-1] + t[1:])
-        ks = jax.vmap(rate_fn)(mids)              # (S, 6)
+        # midpoints are CONCRETE here, so evaluate the user's modulation
+        # per midpoint in Python (a reference-style `if t < 10:` body works,
+        # matching the docstring's rk4-only traceability requirement) —
+        # vmap would put tracers through arbitrary Python control flow
+        mids = np.asarray(0.5 * (t[:-1] + t[1:]))
+        ks = jnp.stack([rate_fn(float(tt)) for tt in mids])  # (S, 6)
         traj = expm_solve_piecewise(y0, t_span[0], t_span[1], n_points, ks)
         return t, _project_simplex(traj)
     traj = rk4_solve_modulated(y0, t_span[0], t_span[1], n_points, rate_fn,

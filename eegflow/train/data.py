@@ -48,11 +48,14 @@ def phase_surrogate(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     n, t, c = x.shape
     spec = np.fft.rfft(x, axis=1)
     phases = rng.uniform(0.0, 2.0 * np.pi, spec.shape)
-    phases[:, 0, :] = 0.0  # DC stays real
+    surro = np.abs(spec) * np.exp(1j * phases)
+    # DC and Nyquist are real-SIGNED coefficients: keep them verbatim
+    # (|DC| would flip negative-mean windows to positive mean — a
+    # systematic artifact distinguishing surrogates from originals)
+    surro[:, 0, :] = spec[:, 0, :]
     if t % 2 == 0:
-        phases[:, -1, :] = 0.0  # Nyquist stays real
-    return np.fft.irfft(np.abs(spec) * np.exp(1j * phases),
-                        n=t, axis=1).astype(x.dtype)
+        surro[:, -1, :] = spec[:, -1, :]
+    return np.fft.irfft(surro, n=t, axis=1).astype(x.dtype)
 
 
 def make_surrogate_refresher(n_original: int, n_surrogates: int, seed: int):
@@ -75,17 +78,20 @@ def make_surrogate_refresher(n_original: int, n_surrogates: int, seed: int):
     def refresh(x, epoch):
         base = x[:n_original]
         t = base.shape[1]
-        spec = jnp.abs(jnp.fft.rfft(base, axis=1))
+        spec = jnp.fft.rfft(base, axis=1)
+        mag = jnp.abs(spec)
         copies = []
         for k in range(n_surrogates):
             key = jax.random.fold_in(root, epoch * 131 + k)
             ph = jax.random.uniform(key, spec.shape, minval=0.0,
                                     maxval=2.0 * jnp.pi)
-            ph = ph.at[:, 0, :].set(0.0)  # DC stays real
+            surro = mag * jnp.exp(1j * ph)
+            # DC/Nyquist are real-SIGNED: keep them verbatim (see
+            # phase_surrogate)
+            surro = surro.at[:, 0, :].set(spec[:, 0, :])
             if t % 2 == 0:
-                ph = ph.at[:, -1, :].set(0.0)  # Nyquist stays real
-            copies.append(jnp.fft.irfft(spec * jnp.exp(1j * ph), n=t,
-                                        axis=1).astype(x.dtype))
+                surro = surro.at[:, -1, :].set(spec[:, -1, :])
+            copies.append(jnp.fft.irfft(surro, n=t, axis=1).astype(x.dtype))
         head = x[: x.shape[0] - n_original * n_surrogates]
         return jnp.concatenate([head] + copies, axis=0)
 

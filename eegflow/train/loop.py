@@ -58,6 +58,12 @@ def predict_probs(
     caller can keep several calls in flight so accelerator round-trip
     latency overlaps with compute (materialize via ``materialize_probs``).
     """
+    if mesh is not None:
+        # the implicit batch-sharded jit must not route through pallas_call
+        # (no GSPMD partitioning rule) — resolve "auto" mesh-aware
+        from eegflow.nn.lstm import resolve_lstm_impl
+
+        lstm_impl = resolve_lstm_impl(lstm_impl, mesh=mesh)
     step = eval_step or make_eval_step(model_cfg, bf16=bf16, lstm_impl=lstm_impl)
     if mesh is not None:
         from eegflow.train.mesh import replicate_to_mesh, shard_batch
@@ -191,16 +197,20 @@ def train_classifier(
         x_train_dev = jnp.asarray(x_train)
         y_train_dev = jnp.asarray(y_train)
         x_val = jnp.asarray(x_val)
+    if epoch_transform is not None and x_train_dev is None:
+        # the device-side refresh assumes the HBM-resident path; falling back
+        # to host batching would re-upload the whole set every epoch (the
+        # exact cost the 8 GB guard above exists to avoid) — fail loudly
+        raise ValueError(
+            "epoch_transform requires the HBM-resident training path "
+            "(mesh=None and train+val arrays < 8 GB); got "
+            f"mesh={'set' if mesh is not None else 'None'}, "
+            f"dataset_bytes={dataset_bytes:.2e}")
 
     for epoch in range(start_epoch, train_cfg.epochs):
         ep_start = time.time()
         if epoch_transform is not None:
-            if x_train_dev is not None:
-                x_train_dev = epoch_transform(x_train_dev,
-                                              jnp.asarray(epoch))
-            else:
-                x_train = np.asarray(epoch_transform(jnp.asarray(x_train),
-                                                     jnp.asarray(epoch)))
+            x_train_dev = epoch_transform(x_train_dev, jnp.asarray(epoch))
         # per-epoch seeded sampling: a resumed run draws the same batches
         rng = np.random.default_rng(train_cfg.seed * 1_000_003 + epoch)
         if train_cfg.weighted_sampling:

@@ -61,11 +61,16 @@ def make_train_step(
     """
     compute_dtype = jnp.bfloat16 if train_cfg.bf16 else None
     cw = None if class_weights is None else jnp.asarray(class_weights)
+    # resolve "auto" HERE so the mesh is known: the implicit batch-sharded
+    # jit must not route through pallas_call (no GSPMD partitioning rule)
+    from eegflow.nn.lstm import resolve_lstm_impl
+
+    lstm_impl = resolve_lstm_impl(train_cfg.lstm_impl, mesh=mesh)
 
     def loss_fn(params, x, y, key):
         logits = classifier_apply(
             params, x, model_cfg, train=True, dropout_key=key,
-            compute_dtype=compute_dtype, lstm_impl=train_cfg.lstm_impl,
+            compute_dtype=compute_dtype, lstm_impl=lstm_impl,
         )
         loss = cross_entropy_loss(logits, y, cw)
         return loss, logits

@@ -230,6 +230,26 @@ def test_solve_with_modulation_expm_piecewise_exact():
     assert np.max(np.abs(np.asarray(sol) - ref)) < 1e-5
 
 
+def test_solve_with_modulation_expm_python_control_flow():
+    """The expm path evaluates modulation at CONCRETE midpoints, so a
+    reference-style Python body (`if t < 10:`) — the documented parity
+    target — must work without tracer errors."""
+
+    def mod_py(t, p):
+        if t < 10.0:  # plain Python branch, not jnp.where
+            return {name: 1.5 * v for name, v in p.items()}
+        return {name: 0.75 * v for name, v in p.items()}
+
+    t, sol = solve_with_modulation(
+        [0.6, 0.2, 0.2], (0.0, 20.0), mod_py, n_points=41, method="expm")
+    hi = {n: 1.5 * v for n, v in DEFAULT_RATES.items()}
+    lo = {n: 0.75 * v for n, v in DEFAULT_RATES.items()}
+    first = scipy_reference([0.6, 0.2, 0.2], 0.0, 10.0, 21, hi)
+    second = scipy_reference(first[-1], 10.0, 20.0, 21, lo)
+    ref = np.concatenate([first, second[1:]], axis=0)
+    assert np.max(np.abs(np.asarray(sol) - ref)) < 1e-5
+
+
 def test_solve_with_modulation_constant_matches_solve():
     """Identity modulation reduces to the plain reference-parity solve."""
     t, sol = solve_with_modulation(

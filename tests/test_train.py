@@ -275,6 +275,7 @@ def test_augment_phase_surrogate(rng):
     from eegflow.train.data import augment_data, phase_surrogate
 
     x = rng.standard_normal((8, 32, 3)).astype(np.float32)
+    x[0] -= 2.0  # negative-mean window: DC sign must be preserved
     s = phase_surrogate(x, np.random.default_rng(1))
     assert s.shape == x.shape and s.dtype == x.dtype
     # amplitude spectrum preserved per sample/channel, waveform randomized
@@ -282,6 +283,8 @@ def test_augment_phase_surrogate(rng):
                                np.abs(np.fft.rfft(x, axis=1)),
                                rtol=0, atol=1e-3)
     assert np.abs(s - x).max() > 0.1
+    # DC kept verbatim (not |DC|): per-window-channel means survive exactly
+    np.testing.assert_allclose(s.mean(axis=1), x.mean(axis=1), atol=1e-5)
     # two surrogate copies through augment_data are distinct draws
     y = rng.integers(0, 2, 8)
     ax, ay = augment_data(x, y, np.random.default_rng(2), phase_surrogates=2)

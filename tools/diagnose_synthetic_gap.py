@@ -59,10 +59,18 @@ def prepare_data(out: Path, n_subjects: int, duration_s: float):
     npz = out / "processed" / "processed_sequences.npz"
     if npz.exists():
         arrays, meta = load_processed(npz)
-        return {k: np.asarray(v) for k, v in arrays.items()}, meta
+        cached_subjects = sum(
+            len(s.get("subjects", [])) for s in meta.get("splits", {}).values())
+        if cached_subjects == n_subjects:
+            return {k: np.asarray(v) for k, v in arrays.items()}, meta
+        # e.g. a --quick (4-subject) cache must not poison a 24-subject run
+        print(f"cached artifacts have {cached_subjects} subjects, "
+              f"need {n_subjects}: regenerating", flush=True)
 
     data_dir = out / "data"
-    if not (data_dir / "sub-01").exists():
+    # require the LAST subject dir too: a smaller (--quick) dataset in the
+    # same --out must not short-circuit a larger run
+    if not (data_dir / f"sub-{n_subjects:02d}").exists():
         print(f"generating {n_subjects}-subject synthetic dataset...", flush=True)
         generate_synthetic_dataset(data_dir, n_subjects=n_subjects,
                                    duration_s=duration_s)
@@ -276,6 +284,9 @@ def main():
 
     print("\n=== summary ===")
     for name, rec in results.items():
+        if "val_auc" not in rec:  # e.g. the oracle record
+            print(f"{name:14s} {rec}")
+            continue
         print(f"{name:14s} train_auc={rec['train_auc']:.3f} "
               f"val_auc={rec['val_auc']:.3f} test_auc={rec['test_auc']:.3f} "
               f"test_mcc={rec['test_mcc']:.3f} epochs={rec['epochs_run']}")
