@@ -50,7 +50,12 @@ def permutation_channel_importance(
         x, y = x[idx], y[idx]
     n = len(x)
     n_channels = x.shape[2]
-    eval_step = make_eval_step(model_cfg)
+    # mesh-aware: sharded jit must not route through pallas_call (no GSPMD
+    # partitioning rule)
+    from eegflow.nn.lstm import resolve_lstm_impl
+
+    lstm_impl = resolve_lstm_impl("auto", mesh=mesh)
+    eval_step = make_eval_step(model_cfg, lstm_impl=lstm_impl)
 
     def predictions(data: np.ndarray) -> np.ndarray:
         probs = predict_probs(params, data, model_cfg, batch_size,
@@ -69,7 +74,8 @@ def permutation_channel_importance(
         onehot = (jnp.arange(x_dev.shape[-1]) == ch)
         stacked = jnp.where(onehot, permuted, base)
         logits = classifier_apply(p, stacked, model_cfg, train=False,
-                                  compute_dtype=jnp.bfloat16)
+                                  compute_dtype=jnp.bfloat16,
+                                  lstm_impl=lstm_impl)
         preds = jnp.argmax(logits, axis=-1).reshape(r, -1)
         return jnp.mean(preds == y_dev[None, :], axis=1)
 
