@@ -147,7 +147,19 @@ def train_classifier(
             resume_payload = (resume_history, extra, ckpt_best_params)
 
     cw = class_weight_array(y_train, model_cfg.num_classes)
-    step = make_train_step(model_cfg, train_cfg, tx, class_weights=cw, mesh=mesh)
+    if mesh is not None and jax.default_backend() == "tpu":
+        # explicit shard_map step: each device runs a complete per-shard
+        # program, so the fused pallas kernels stay usable (pallas_call has
+        # no GSPMD partitioning rule — the implicit batch-sharded jit must
+        # fall back to scan, a 4.4x kernel slowdown per chip)
+        from eegflow.train.mesh import make_spmd_train_step
+
+        step = make_spmd_train_step(model_cfg, train_cfg, tx, mesh,
+                                    class_weights=cw,
+                                    axis_name=train_cfg.data_axis)
+    else:
+        step = make_train_step(model_cfg, train_cfg, tx, class_weights=cw,
+                               mesh=mesh)
     eval_step = make_eval_step(model_cfg, bf16=train_cfg.bf16,
                                lstm_impl=train_cfg.lstm_impl)
 
