@@ -58,8 +58,14 @@ def predict_probs(
     caller can keep several calls in flight so accelerator round-trip
     latency overlaps with compute (materialize via ``materialize_probs``).
     """
-    if mesh is not None:
-        # the implicit batch-sharded jit must not route through pallas_call
+    if mesh is not None and eval_step is None and jax.default_backend() == "tpu":
+        # explicit per-device shard_map forward keeps the pallas kernels on
+        # TPU meshes (see make_spmd_eval_step)
+        from eegflow.train.mesh import make_spmd_eval_step
+
+        eval_step = make_spmd_eval_step(model_cfg, mesh, bf16=bf16)
+    elif mesh is not None:
+        # implicit batch-sharded jit must not route through pallas_call
         # (no GSPMD partitioning rule) — resolve "auto" mesh-aware
         from eegflow.nn.lstm import resolve_lstm_impl
 

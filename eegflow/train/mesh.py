@@ -94,3 +94,35 @@ def make_spmd_train_step(
         return new_state, {"loss": loss, "correct": correct}
 
     return jax.jit(spmd_step, donate_argnums=(0,) if donate else ())
+
+
+def make_spmd_eval_step(
+    model_cfg, mesh: Mesh, bf16: bool = True, axis_name: str = "data",
+) -> Callable:
+    """Explicit-collective SPMD eval: ``eval(params, x) -> probs``.
+
+    Each device runs a complete per-shard forward, so the fused pallas
+    kernels stay usable on TPU meshes (the implicit batch-sharded jit has
+    to fall back to scan — ``pallas_call`` has no GSPMD partitioning rule).
+    Inputs: params replicated, ``x`` sharded on ``axis_name``; output probs
+    sharded the same way.
+    """
+    from jax import shard_map
+
+    from eegflow.nn.model import classifier_apply
+
+    compute_dtype = jnp.bfloat16 if bf16 else None
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    def spmd_eval(params, x):
+        logits = classifier_apply(params, x, model_cfg, train=False,
+                                  compute_dtype=compute_dtype)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return jax.jit(spmd_eval)

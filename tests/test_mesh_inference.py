@@ -78,3 +78,26 @@ def test_multistep_forecast_sharded_matches_single(rng, eight_device_mesh):
                                    single[h]["predictions"], atol=1e-6)
         np.testing.assert_allclose(sharded[h]["actuals"],
                                    single[h]["actuals"], atol=0)
+
+
+def test_spmd_eval_step_matches_single(coupled_model, rng, eight_device_mesh):
+    """The explicit shard_map eval (the TPU-mesh predict_probs path, which
+    keeps per-device pallas kernels) equals the single-device forward."""
+    from eegflow.train.loop import predict_probs
+    from eegflow.train.mesh import (make_spmd_eval_step, replicate_to_mesh,
+                                    shard_batch)
+
+    x = rng.standard_normal((16, 16, 5)).astype(np.float32)
+    model = coupled_model
+    single = np.asarray(predict_probs(model.params, x, model.model_cfg,
+                                      batch_size=16))
+    step = make_spmd_eval_step(model.model_cfg, eight_device_mesh)
+    params = replicate_to_mesh(model.params, eight_device_mesh)
+    xb = shard_batch(np.asarray(x), eight_device_mesh)
+    sharded = np.asarray(step(params, xb))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    # and through predict_probs' eval_step hook (the wiring the TPU branch uses)
+    via_hook = np.asarray(predict_probs(model.params, x, model.model_cfg,
+                                        batch_size=16, eval_step=step,
+                                        mesh=eight_device_mesh))
+    np.testing.assert_allclose(via_hook, single, atol=1e-5)
