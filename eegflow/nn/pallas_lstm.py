@@ -604,7 +604,7 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                       n_parts: int, n_masks: int, keep: float,
                       prng_dropout: bool, n_chunks: int, n_dxadd: int = 0,
                       mask_from_x: bool = False, stream_tc: bool = False,
-                      adjoint_res: bool = False):
+                      adjoint_res: bool = False, dual: bool = False):
     """Adjoint step producing per-part dx and accumulating (dW_ih parts,
     dW_hh, db) into VMEM-resident output blocks. Standard LSTM adjoint,
     gate order i,f,g,o. In-kernel dropout (PRNG seed or uint8 masks)
@@ -706,42 +706,57 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
             tc_ = (tc_ref[:, i_t, :] if stream_tc
                    else jnp.tanh(c_ref[:, i_t, :]))
 
-        def adjoint_chain(dh_carry, dc_carry, g_scale=None):
+        def adjoint_chain(dh_carry, dc_carry, g_scale=None,
+                          sl=slice(None)):
             # the serial gate-adjoint chain: everything between reading the
-            # previous step's carries and producing this step's dz
-            dh = g_ref[:, i_t, :] + dh_carry[:]
+            # previous step's carries and producing this step's dz. ``sl``
+            # restricts the chain to a row slice of the batch tile (the
+            # dual-chain ILP mode below).
+            dh = g_ref[sl, i_t, :] + dh_carry[sl, :]
             if g_scale is not None:  # probe only: defeat CSE with the primary
                 dh = dh * g_scale
             if adjoint_res:
                 # residuals [A, B, C, E, F, G] precomputed by the forward:
                 # 7 multiplies + 2 adds per step, no transcendental
-                dc = dh * res[:, 3 * hidden : 4 * hidden] + dc_carry[:]
-                dc_carry[:] = dc * res[:, 4 * hidden : 5 * hidden]
+                dc = dh * res[sl, 3 * hidden : 4 * hidden] + dc_carry[sl, :]
+                dc_carry[sl, :] = dc * res[sl, 4 * hidden : 5 * hidden]
                 dz = jnp.concatenate(
-                    [dc * res[:, :hidden],
-                     dc * res[:, hidden : 2 * hidden],
-                     dc * res[:, 2 * hidden : 3 * hidden],
-                     dh * res[:, 5 * hidden :]],
+                    [dc * res[sl, :hidden],
+                     dc * res[sl, hidden : 2 * hidden],
+                     dc * res[sl, 2 * hidden : 3 * hidden],
+                     dh * res[sl, 5 * hidden :]],
                     axis=-1,
                 )
             else:
-                do = dh * tc_
-                dc = dh * go * (1.0 - tc_ * tc_) + dc_carry[:]
-                di = dc * gg
-                df = dc * c_prev
-                dg = dc * gi
-                dc_carry[:] = dc * gf
+                do = dh * tc_[sl]
+                dc = dh * go[sl] * (1.0 - tc_[sl] * tc_[sl]) + dc_carry[sl, :]
+                di = dc * gg[sl]
+                df = dc * c_prev[sl]
+                dg = dc * gi[sl]
+                dc_carry[sl, :] = dc * gf[sl]
                 dz = jnp.concatenate(
-                    [di * gi * (1.0 - gi), df * gf * (1.0 - gf),
-                     dg * (1.0 - gg * gg), do * go * (1.0 - go)],
+                    [di * gi[sl] * (1.0 - gi[sl]), df * gf[sl] * (1.0 - gf[sl]),
+                     dg * (1.0 - gg[sl] * gg[sl]), do * go[sl] * (1.0 - go[sl])],
                     axis=-1,
                 )
             dz16 = dz.astype(jnp.bfloat16)
-            dh_carry[:] = jnp.dot(dz16, whh_t_ref[:],
-                                  preferred_element_type=jnp.float32)
+            dh_carry[sl, :] = jnp.dot(dz16, whh_t_ref[:],
+                                      preferred_element_type=jnp.float32)
             return dz, dz16
 
-        dz, dz16 = adjoint_chain(dh_sc, dc_sc)
+        if dual:
+            # two independent adjoint chains over the tile's row halves:
+            # while one half's carry matmul occupies the MXU, the other
+            # half's VPU chain can issue (the per-step chain is latency-
+            # bound, not throughput-bound). The off-chain dx/dW matmuls
+            # below still run on the full tile.
+            half = dh_sc.shape[0] // 2
+            dz_a, _ = adjoint_chain(dh_sc, dc_sc, sl=slice(0, half))
+            dz_b2, _ = adjoint_chain(dh_sc, dc_sc, sl=slice(half, None))
+            dz = jnp.concatenate([dz_a, dz_b2], axis=0)
+            dz16 = dz.astype(jnp.bfloat16)
+        else:
+            dz, dz16 = adjoint_chain(dh_sc, dc_sc)
         if probe_sc:
             # perf probe (EEGFLOW_BWD_PROBE_DUP=1): a second, independent
             # adjoint chain over the SAME blocks, merged at ~1e-30 scale so
@@ -938,6 +953,13 @@ _BWD_V2 = int(_os.environ.get("EEGFLOW_BWD_V2", "0"))
 # perf probe: duplicate the v1 adjoint chain in-kernel (see adjoint_chain)
 _BWD_PROBE_DUP = int(_os.environ.get("EEGFLOW_BWD_PROBE_DUP", "0"))
 
+# A/B flag: split the backward batch tile into two independent adjoint
+# chains (row halves). The per-step chain is dependency-latency-bound
+# (~25% MXU / ~16% VPU utilization at the measured 3.8 ms/kernel), so two
+# interleavable chains let the scheduler overlap one half's carry matmul
+# with the other half's VPU work. Composes with EEGFLOW_ADJOINT_RES.
+_BWD_DUAL = int(_os.environ.get("EEGFLOW_BWD_DUAL", "0"))
+
 
 @functools.partial(
     jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse",
@@ -1028,7 +1050,8 @@ def lstm_bwd_fused(
         n_chunks=n_chunks, n_dxadd=len(dx_add),
         mask_from_x=mask_from_x,
         **({} if _BWD_V2 else {"stream_tc": stream_tc,
-                               "adjoint_res": bool(_ADJ_RES)}))
+                               "adjoint_res": bool(_ADJ_RES),
+                               "dual": bool(_BWD_DUAL)}))
     n_p = len(xs)
     outs = pl.pallas_call(
         kernel,
