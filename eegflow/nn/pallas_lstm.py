@@ -72,6 +72,13 @@ _RES_BF16 = int(_os.environ.get("EEGFLOW_RES_BF16", "0"))
 # (f32-path kernel tests pass at 1e-5 vs scan autodiff).
 _ADJ_RES = int(_os.environ.get("EEGFLOW_ADJOINT_RES", "0"))
 
+# A/B flag: split the FORWARD batch tile into two independent recurrence
+# chains (row halves) — same ILP rationale as EEGFLOW_BWD_DUAL: the
+# per-step chain is carry-matmul -> 4 transcendentals -> state update, and
+# two interleavable chains let the scheduler overlap one half's matmul
+# with the other half's VPU work.
+_FWD_DUAL = int(_os.environ.get("EEGFLOW_FWD_DUAL", "0"))
+
 
 def _sigmoid(x):
     """sigmoid via the tanh identity: Mosaic's tanh is ~2x cheaper than the
@@ -321,9 +328,9 @@ def _split_rows(w: jnp.ndarray, widths) -> list:
     return out
 
 
-def _masked(x, mask_ref, i, inv_keep: float):
+def _masked(x, mask_ref, i, inv_keep: float, sl=slice(None)):
     """Apply an inverted-dropout mask block (uint8, 0=drop) to a time slice."""
-    return jnp.where(mask_ref[:, i, :] != 0, x * inv_keep, 0.0)
+    return jnp.where(mask_ref[sl, i, :] != 0, x * inv_keep, 0.0)
 
 
 #: seed-mixing constants (splitmix64/murmur finalizer multipliers, as int32)
@@ -371,7 +378,7 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                      n_parts: int, n_masks: int, keep: float,
                      prng_dropout: bool, n_chunks: int,
                      stream_tc: bool = False, adjoint_res: bool = False,
-                     emit_residuals: bool = True):
+                     emit_residuals: bool = True, dual: bool = False):
     """One (batch_tile, time_chunk) grid step: project + recurrence, storing
     (h, c, gates) f32 residuals. The projection matmuls are independent across
     steps, so the MXU pipelines them behind the serial recurrence chain.
@@ -431,36 +438,37 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         maskv = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
                                   n_parts, [r.shape for r in x_refs], keep)
 
-    for s in range(t_chunk):  # unrolled: static sublane offsets
-        i = t_chunk - 1 - s if reverse else s
+    def fwd_step(i, sl=slice(None)):
+        """One recurrence step over the row slice ``sl`` of the batch tile
+        (the dual-chain ILP mode runs two independent half-tile chains)."""
         z = b_ref[0:1, :] + jnp.dot(
-            h_sc[:].astype(jnp.bfloat16), whh_ref[:],
+            h_sc[sl, :].astype(jnp.bfloat16), whh_ref[:],
             preferred_element_type=jnp.float32)
         for p in range(n_parts):
-            xv = x_refs[p][:, i, :]
+            xv = x_refs[p][sl, i, :]
             if prng_dropout:
-                xv = _prng_masked(xv, maskv[p], i)
+                xv = _prng_masked(xv, maskv[p][sl], i)
             elif n_masks:
-                xv = _masked(xv, mask_refs[p], i, inv_keep)
+                xv = _masked(xv, mask_refs[p], i, inv_keep, sl=sl)
             z += jnp.dot(xv.astype(jnp.bfloat16), wih_refs[p][:],
                          preferred_element_type=jnp.float32)
         gi = _sigmoid(z[:, :hidden])
         gf = _sigmoid(z[:, hidden : 2 * hidden])
         gg = jnp.tanh(z[:, 2 * hidden : 3 * hidden])
         go = _sigmoid(z[:, 3 * hidden :])
-        c_prev = c_sc[:]
+        c_prev = c_sc[sl, :]
         c_new = gf * c_prev + gi * gg
         tc_new = jnp.tanh(c_new)
         h_new = go * tc_new
-        h_sc[:] = h_new
-        c_sc[:] = c_new
-        h_out[:, i, :] = h_new
+        h_sc[sl, :] = h_new
+        c_sc[sl, :] = c_new
+        h_out[sl, i, :] = h_new
         if not emit_residuals:
-            continue
+            return
         if adjoint_res:
             # precomputed adjoint residuals (see _ADJ_RES): the forward has
             # VPU slack (it is DMA-bound), the backward does not
-            z_out[:, i, :] = jnp.concatenate(
+            z_out[sl, i, :] = jnp.concatenate(
                 [gg * (gi * (1.0 - gi)),
                  c_prev * (gf * (1.0 - gf)),
                  gi * (1.0 - gg * gg),
@@ -468,17 +476,26 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                  gf,
                  tc_new * (go * (1.0 - go))],
                 axis=-1).astype(z_out.dtype)
-            continue
-        c_out[:, i, :] = c_new
+            return
+        c_out[sl, i, :] = c_new
         if stream_tc:
             # stream tanh(c) (computed here anyway) so the VPU-bound adjoint
             # kernel reads it instead of re-evaluating a tanh per step
-            tc_out[:, i, :] = tc_new
+            tc_out[sl, i, :] = tc_new
         # residual = the POST-activation gates, not z: the adjoint then needs
         # only multiplies (gate'(z) in terms of the activation) + one tanh(c),
         # instead of re-evaluating 4 transcendental passes per step
-        z_out[:, i, :] = jnp.concatenate(
+        z_out[sl, i, :] = jnp.concatenate(
             [gi, gf, gg, go], axis=-1).astype(z_out.dtype)
+
+    for s in range(t_chunk):  # unrolled: static sublane offsets
+        i = t_chunk - 1 - s if reverse else s
+        if dual:
+            half = h_sc.shape[0] // 2
+            fwd_step(i, slice(0, half))
+            fwd_step(i, slice(half, None))
+        else:
+            fwd_step(i)
 
 
 @functools.partial(
@@ -547,7 +564,8 @@ def lstm_fwd_fused_proj(
                                keep=keep, prng_dropout=prng,
                                n_chunks=n_chunks, stream_tc=bool(_BWD_TC),
                                adjoint_res=bool(_ADJ_RES),
-                               emit_residuals=need_residuals)
+                               emit_residuals=need_residuals,
+                               dual=bool(_FWD_DUAL))
     seq_h = jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32)
     res_shape = jax.ShapeDtypeStruct(
         (bsz, t, res_width), jnp.bfloat16 if _RES_BF16 else jnp.float32)
