@@ -565,7 +565,8 @@ def lstm_fwd_fused_proj(
                                n_chunks=n_chunks, stream_tc=bool(_BWD_TC),
                                adjoint_res=bool(_ADJ_RES),
                                emit_residuals=need_residuals,
-                               dual=bool(_FWD_DUAL))
+                               # half-tiles must stay (8, 128)-tile aligned
+                               dual=bool(_FWD_DUAL) and batch_tile % 16 == 0)
     seq_h = jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32)
     res_shape = jax.ShapeDtypeStruct(
         (bsz, t, res_width), jnp.bfloat16 if _RES_BF16 else jnp.float32)
@@ -1069,7 +1070,8 @@ def lstm_bwd_fused(
         mask_from_x=mask_from_x,
         **({} if _BWD_V2 else {"stream_tc": stream_tc,
                                "adjoint_res": bool(_ADJ_RES),
-                               "dual": bool(_BWD_DUAL)}))
+                               # half-tiles must stay (8, 128)-tile aligned
+                               "dual": bool(_BWD_DUAL) and batch_tile % 16 == 0}))
     n_p = len(xs)
     outs = pl.pallas_call(
         kernel,
