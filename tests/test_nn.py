@@ -250,3 +250,20 @@ def test_classifier_is_jittable_and_grads_flow():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_resolve_lstm_impl_contract():
+    """'auto' resolves per backend; a mesh forces scan on the implicit
+    sharded-jit path (pallas_call has no GSPMD rule); explicit choices are
+    always respected."""
+    from eegflow.nn.lstm import resolve_lstm_impl
+    from eegflow.train.mesh import make_data_mesh
+
+    mesh = make_data_mesh(2)
+    assert resolve_lstm_impl("scan") == "scan"
+    assert resolve_lstm_impl("pallas") == "pallas"
+    assert resolve_lstm_impl("pallas", mesh=mesh) == "pallas"  # explicit wins
+    assert resolve_lstm_impl("auto", mesh=mesh) == "scan"
+    assert resolve_lstm_impl(None, mesh=mesh) == "scan"
+    # on the CPU test backend, auto without a mesh is scan too
+    assert resolve_lstm_impl("auto") == "scan"
