@@ -2,6 +2,7 @@ from eegflow.couple.modulation import infer_initial_state, modulate_rates  # noq
 from eegflow.couple.rollout import (  # noqa: F401
     CoupledModel,
     coupled_rollout,
+    make_spmd_rollout,
     predict_batch,
     predict_trajectory,
 )

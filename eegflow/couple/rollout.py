@@ -36,29 +36,22 @@ class CoupledModel:
     lstm_impl: str = "auto"
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model_cfg", "forecast_steps", "alpha", "rate_floor",
-                     "init_threshold", "bf16", "lstm_impl"),
-)
-def coupled_rollout(
+def _rollout_core(
     params: Any,
     x: jnp.ndarray,
     k_base: jnp.ndarray,
     model_cfg: ModelConfig,
-    forecast_steps: int = 20,
-    alpha: float = 0.5,
-    rate_floor: float = 1e-3,
-    init_threshold: float = 0.6,
-    bf16: bool = True,
-    lstm_impl: str = "scan",
+    forecast_steps: int,
+    alpha: float,
+    rate_floor: float,
+    init_threshold: float,
+    bf16: bool,
+    lstm_impl: str,
 ) -> Dict[str, jnp.ndarray]:
-    """(B, T, C) windows -> dict with probs, attention, trajectories, finals.
-
-    Semantics parity with ref 06:308-406 / 10:204-290: per-sample modulated
-    rates, heuristic initial state, ``solve(init, (0, steps), steps)``,
-    trajectory-end thresholding (F > 0.5 -> class 1).
-    """
+    """Un-jitted rollout body — shared by the single-device jit
+    (:func:`coupled_rollout`) and the per-device ``shard_map`` program
+    (:func:`make_spmd_rollout`). Every op is per-sample, so sharding the
+    batch axis is exact."""
     compute_dtype = jnp.bfloat16 if bf16 else None
     logits, attention = classifier_apply(
         params, x, model_cfg, train=False, return_attention=True,
@@ -85,12 +78,83 @@ def coupled_rollout(
     }
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_cfg", "forecast_steps", "alpha", "rate_floor",
+                     "init_threshold", "bf16", "lstm_impl"),
+)
+def coupled_rollout(
+    params: Any,
+    x: jnp.ndarray,
+    k_base: jnp.ndarray,
+    model_cfg: ModelConfig,
+    forecast_steps: int = 20,
+    alpha: float = 0.5,
+    rate_floor: float = 1e-3,
+    init_threshold: float = 0.6,
+    bf16: bool = True,
+    lstm_impl: str = "scan",
+) -> Dict[str, jnp.ndarray]:
+    """(B, T, C) windows -> dict with probs, attention, trajectories, finals.
+
+    Semantics parity with ref 06:308-406 / 10:204-290: per-sample modulated
+    rates, heuristic initial state, ``solve(init, (0, steps), steps)``,
+    trajectory-end thresholding (F > 0.5 -> class 1).
+    """
+    return _rollout_core(params, x, k_base, model_cfg, forecast_steps, alpha,
+                         rate_floor, init_threshold, bf16, lstm_impl)
+
+
+def make_spmd_rollout(
+    model_cfg: ModelConfig,
+    mesh,
+    forecast_steps: int = 20,
+    alpha: float = 0.5,
+    rate_floor: float = 1e-3,
+    init_threshold: float = 0.6,
+    bf16: bool = True,
+    lstm_impl: str = "auto",
+    axis_name: str = "data",
+):
+    """Explicit shard_map coupled rollout: ``roll(params, x, k_base) -> dict``.
+
+    Each device runs the complete per-shard rollout program, so the fused
+    pallas kernels stay usable on TPU meshes (the implicit batch-sharded jit
+    must fall back to scan — ``pallas_call`` has no GSPMD partitioning rule).
+    This gives the stage-06 hot path (ref 06:308-406 phase 2) the measured
+    5.6x pallas coupled-inference advantage per chip times the mesh's DP
+    width. Inputs: params/k_base replicated, ``x`` sharded on ``axis_name``;
+    every output is batch-leading and comes back sharded the same way.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from eegflow.nn.lstm import resolve_lstm_impl
+
+    # per-device program: resolve "auto" WITHOUT the mesh (pallas on TPU)
+    impl = resolve_lstm_impl(lstm_impl)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    def spmd_rollout(params, x, k_base):
+        return _rollout_core(params, x, k_base, model_cfg, forecast_steps,
+                             alpha, rate_floor, init_threshold, bf16, impl)
+
+    return jax.jit(spmd_rollout)
+
+
 def predict_batch(
     model: CoupledModel,
     x: np.ndarray,
     forecast_steps: Optional[int] = None,
     batch_size: int = 2048,
     mesh=None,
+    rollout_step=None,
 ) -> Dict[str, np.ndarray]:
     """Host wrapper: pads to static batch buckets, concatenates results.
 
@@ -102,8 +166,12 @@ def predict_batch(
     With ``mesh`` (a 1-D data mesh) the batch axis is sharded across the
     mesh's devices and the whole fused rollout runs SPMD — the reference's
     phase-2 per-sample CPU loop (ref 06:367-406) becomes an 8-chip program.
+    On TPU meshes the explicit per-device :func:`make_spmd_rollout` path is
+    used so the fused pallas kernels survive the sharding (the implicit jit
+    would fall back to scan); elsewhere the implicit NamedSharding path runs.
     Results are bitwise-identical to the single-device path (every op is
-    per-sample).
+    per-sample). ``rollout_step`` injects a prebuilt spmd rollout (tests, or
+    reuse across calls).
     """
     steps = forecast_steps or model.coupling.forecast_steps
     n = len(x)
@@ -114,9 +182,21 @@ def predict_batch(
         from eegflow.nn.lstm import resolve_lstm_impl
         from eegflow.train.mesh import replicate_to_mesh
 
-        # the implicit batch-sharded jit must not route through pallas_call
-        # (no GSPMD partitioning rule) — resolve "auto" mesh-aware
-        lstm_impl = resolve_lstm_impl(lstm_impl, mesh=mesh)
+        if rollout_step is None and jax.default_backend() == "tpu":
+            # explicit per-device shard_map rollout keeps the pallas kernels
+            # on TPU meshes (measured 5.6x over scan for coupled inference,
+            # docs/ROUND3_RESULTS.md)
+            rollout_step = make_spmd_rollout(
+                model.model_cfg, mesh, forecast_steps=steps,
+                alpha=model.coupling.coupling_strength,
+                rate_floor=model.coupling.rate_floor,
+                init_threshold=model.coupling.init_threshold,
+                lstm_impl=lstm_impl)
+        else:
+            # the implicit batch-sharded jit must not route through
+            # pallas_call (no GSPMD partitioning rule) — resolve "auto"
+            # mesh-aware
+            lstm_impl = resolve_lstm_impl(lstm_impl, mesh=mesh)
         n_dev = int(np.prod(list(mesh.shape.values())))
         params = replicate_to_mesh(params, mesh)
         k_base = replicate_to_mesh(k_base, mesh)
@@ -135,13 +215,16 @@ def predict_batch(
             from eegflow.train.mesh import shard_batch
 
             xb = shard_batch(xb, mesh)
-        res = coupled_rollout(
-            params, xb, k_base, model.model_cfg,
-            forecast_steps=steps, alpha=model.coupling.coupling_strength,
-            rate_floor=model.coupling.rate_floor,
-            init_threshold=model.coupling.init_threshold,
-            lstm_impl=lstm_impl,
-        )
+        if rollout_step is not None:
+            res = rollout_step(params, xb, k_base)
+        else:
+            res = coupled_rollout(
+                params, xb, k_base, model.model_cfg,
+                forecast_steps=steps, alpha=model.coupling.coupling_strength,
+                rate_floor=model.coupling.rate_floor,
+                init_threshold=model.coupling.init_threshold,
+                lstm_impl=lstm_impl,
+            )
         for name, val in res.items():
             out.setdefault(name, []).append(np.asarray(val)[:k])
     return {name: np.concatenate(vals, axis=0) for name, vals in out.items()}

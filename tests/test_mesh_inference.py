@@ -36,6 +36,30 @@ def test_predict_batch_sharded_matches_single(coupled_model, rng, eight_device_m
                                    err_msg=k)
 
 
+def test_spmd_rollout_matches_single(coupled_model, rng, eight_device_mesh):
+    """The explicit shard_map coupled rollout (the TPU-mesh predict_batch
+    path, which keeps per-device pallas kernels — ref 06:308-406 phase 2)
+    equals the single-device/implicit results."""
+    from eegflow.couple.rollout import make_spmd_rollout
+
+    x = rng.standard_normal((52, 16, 5)).astype(np.float32)
+    model = coupled_model
+    single = predict_batch(model, x)
+    roll = make_spmd_rollout(
+        model.model_cfg, eight_device_mesh,
+        forecast_steps=model.coupling.forecast_steps,
+        alpha=model.coupling.coupling_strength,
+        rate_floor=model.coupling.rate_floor,
+        init_threshold=model.coupling.init_threshold,
+        lstm_impl=model.lstm_impl)
+    sharded = predict_batch(model, x, mesh=eight_device_mesh,
+                            rollout_step=roll)
+    assert set(single) == set(sharded)
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], atol=1e-5,
+                                   err_msg=k)
+
+
 def test_coupling_sweep_sharded_matches_single(coupled_model, rng, eight_device_mesh):
     x = rng.standard_normal((52, 16, 5)).astype(np.float32)
     y = rng.integers(0, 2, 52)
