@@ -86,6 +86,68 @@ def compare_to_reference(
     }
 
 
+def reference_dataset_audit(
+    data_dir,
+    n_subjects: Optional[int] = 30,
+    sessions=None,
+    tasks=("eyesopen", "eyesclosed"),
+) -> Dict[str, object]:
+    """Audit ``data_dir`` for the real-ds004148 artifacts the ±0.5 pp parity
+    check needs, and list EXACTLY which are absent.
+
+    The expectation manifest is the downloader's own enumeration
+    (:func:`eegflow.data.download.enumerate_files` — 60 subjects x 3 sessions
+    x 2 tasks x {.vhdr,.vmrk,.eeg}, ref download_dataset.py:41-68) restricted
+    to the ``n_subjects`` the parity run consumes (ref 02:56
+    MAX_SUBJECTS=30). A file counts as present only if it exists, exceeds the
+    git-annex placeholder size, and (for .vhdr) passes the BrainVision header
+    sniff — the same realness tests the ingestion layer applies
+    (ref 01:136-144).
+
+    Returns {"ok", "missing": [str, ...], "present": N, "expected": N,
+    "data_dir"} — the one-command gate that makes the parity check runnable
+    the moment network egress exists (`eegflow parity --expect-reference`).
+    """
+    from pathlib import Path
+
+    from eegflow.data.bids import is_real_data
+    from eegflow.data.download import (MIN_REAL_SIZE, N_SUBJECTS, SESSIONS,
+                                       enumerate_files)
+
+    n = N_SUBJECTS if n_subjects is None else min(n_subjects, N_SUBJECTS)
+    expected = enumerate_files(Path(data_dir), n_subjects=n,
+                               sessions=sessions or SESSIONS, tasks=tasks)
+    def _vmrk_real(path) -> bool:
+        try:
+            head = path.read_text(errors="replace")[:200]
+        except OSError:
+            return False
+        return "Brain Vision" in head or "Marker Infos" in head
+
+    missing: list = []
+    for f in expected:
+        path = Path(f["path"])
+        rel = f"{f['subject']}/ses-{f['session']}/{path.name}"
+        if not path.exists():
+            missing.append(f"{rel}: absent")
+        elif path.suffix == ".eeg" and path.stat().st_size <= MIN_REAL_SIZE:
+            # the binary payload: annex placeholders are tiny text files
+            missing.append(f"{rel}: git-annex placeholder "
+                           f"({path.stat().st_size} B)")
+        elif path.suffix == ".vhdr" and not is_real_data(path):
+            missing.append(f"{rel}: not BrainVision (bad header)")
+        elif path.suffix == ".vmrk" and not _vmrk_real(path):
+            # real marker files can be <200 B, so sniff the header instead
+            missing.append(f"{rel}: not a BrainVision marker file")
+    return {
+        "ok": not missing,
+        "missing": missing,
+        "present": len(expected) - len(missing),
+        "expected": len(expected),
+        "data_dir": str(data_dir),
+    }
+
+
 def format_parity_table(report: Dict[str, object]) -> str:
     lines = [
         "Parity vs reference README.md:220-224 "

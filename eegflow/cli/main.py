@@ -671,6 +671,36 @@ def cmd_parity(args):
     cfg = _load_config(args)
     paths = _paths(args)
     synthetic = bool(args.synthetic)
+    if getattr(args, "expect_reference", False):
+        # the one-command gate for the real ±0.5 pp check: audit the full
+        # download manifest and fail LOUDLY listing exactly what's absent,
+        # instead of silently training on whatever subset is on disk
+        from eegflow.analyze.parity import reference_dataset_audit
+
+        if synthetic:
+            print("--expect-reference and --synthetic are mutually exclusive "
+                  "(the audit is for the REAL ds004148 run)")
+            return 2
+        audit = reference_dataset_audit(args.data_dir,
+                                        n_subjects=cfg.data.max_subjects,
+                                        tasks=cfg.data.tasks)
+        audit_path = Path(args.output_dir) / "results" / "parity_audit.json"
+        audit_path.parent.mkdir(parents=True, exist_ok=True)
+        save_results(audit_path, audit)
+        if not audit["ok"]:
+            print(f"reference dataset INCOMPLETE under {audit['data_dir']}: "
+                  f"{audit['present']}/{audit['expected']} artifacts present, "
+                  f"{len(audit['missing'])} missing "
+                  f"(full list: {audit_path}):")
+            for line in audit["missing"][:20]:
+                print(f"  - {line}")
+            if len(audit["missing"]) > 20:
+                print(f"  ... and {len(audit['missing']) - 20} more")
+            print("fix: `eegflow download -y` where network egress to "
+                  "OpenNeuro S3 exists, then rerun this command")
+            return 2
+        print(f"reference dataset audit OK: {audit['present']}/"
+              f"{audit['expected']} artifacts real on disk")
     recs = discover_recordings(args.data_dir, cfg.data.tasks, cfg.data.max_subjects)
     if not recs:
         if args.synthetic:
@@ -796,6 +826,10 @@ def main(argv=None):
                    help="confirm the ~10 GB ds004148 download if absent")
     p.add_argument("--synthetic", action="store_true",
                    help="fall back to synthetic data (no-egress dry run)")
+    p.add_argument("--expect-reference", action="store_true",
+                   help="audit the real ds004148 tree first and fail loudly "
+                        "listing every absent artifact (the one-command "
+                        "±0.5 pp check once egress exists)")
     p.add_argument("--subjects", type=int, default=24)
     p.add_argument("--duration", type=float, default=60.0)
     p.add_argument("--epochs", type=int, default=None)

@@ -229,3 +229,56 @@ def test_parity_requires_confirmation_without_data(tmp_path, capsys):
                str(tmp_path / "out"), "parity"])
     assert rc == 1
     assert "-y" in capsys.readouterr().out
+
+
+def test_parity_expect_reference_fails_loudly(tmp_path, capsys):
+    """`parity --expect-reference` audits the full ds004148 manifest and
+    fails listing exactly which artifacts are absent — the one-command
+    ±0.5 pp gate for when egress exists (ref README.md:220-224)."""
+    data_dir = tmp_path / "data"
+    out = tmp_path / "out"
+    # a partial tree: one real synthetic recording + one annex placeholder
+    from eegflow.data.synthetic import generate_synthetic_dataset
+
+    generate_synthetic_dataset(data_dir, n_subjects=1, duration_s=2.0,
+                               n_channels=4)
+    stub = (data_dir / "sub-02" / "ses-session1" / "eeg"
+            / "sub-02_ses-session1_task-eyesopen_eeg.vhdr")
+    stub.parent.mkdir(parents=True)
+    stub.write_text("annex stub")  # <=200 B placeholder
+    rc = main(["--data-dir", str(data_dir), "--output-dir", str(out),
+               "parity", "--expect-reference"])
+    assert rc == 2
+    msg = capsys.readouterr().out
+    assert "INCOMPLETE" in msg
+    audit = json.loads((out / "results" / "parity_audit.json").read_text())
+    assert audit["ok"] is False
+    assert any("sub-03" in m for m in audit["missing"])  # names every absence
+    assert any("placeholder" in m or "not BrainVision" in m
+               for m in audit["missing"])
+    assert any("sub-01/ses-session2" in m for m in audit["missing"])
+    # sub-01 ses-session1 files are real -> not in the missing list
+    assert not any(m.startswith("sub-01/ses-session1") for m in audit["missing"])
+    assert audit["present"] > 0
+    assert audit["expected"] == 30 * 3 * 2 * 3  # MAX_SUBJECTS x ses x task x ext
+
+
+def test_parity_expect_reference_excludes_synthetic(tmp_path, capsys):
+    rc = main(["--data-dir", str(tmp_path / "d"), "--output-dir",
+               str(tmp_path / "o"), "parity", "--expect-reference",
+               "--synthetic"])
+    assert rc == 2
+    assert "mutually exclusive" in capsys.readouterr().out
+
+
+def test_reference_dataset_audit_complete_tree(tmp_path):
+    """A tree satisfying the full manifest audits ok=True (what the real
+    download produces; synthetic stand-ins here)."""
+    from eegflow.analyze.parity import reference_dataset_audit
+    from eegflow.data.synthetic import generate_synthetic_dataset
+
+    generate_synthetic_dataset(tmp_path, n_subjects=2, n_sessions=3,
+                               duration_s=2.0, n_channels=4)
+    audit = reference_dataset_audit(tmp_path, n_subjects=2)
+    assert audit["ok"], audit["missing"][:5]
+    assert audit["present"] == audit["expected"] == 2 * 3 * 2 * 3
