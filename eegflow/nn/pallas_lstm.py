@@ -79,6 +79,16 @@ _ADJ_RES = int(_os.environ.get("EEGFLOW_ADJOINT_RES", "0"))
 # with the other half's VPU work.
 _FWD_DUAL = int(_os.environ.get("EEGFLOW_FWD_DUAL", "0"))
 
+# A/B flag: generalize the dual-chain split to N independent chains per
+# batch tile (the round-4 follow-on scoped in docs/ROADMAP.md: if 2 chains
+# confirm the latency-bound hypothesis, deeper splits keep filling stalls
+# until the VPU saturates). EEGFLOW_{FWD,BWD}_CHAINS=N (2 or 4) overrides;
+# the DUAL flags remain aliases for 2. Each chain slice must stay
+# (8, 128)-tile aligned, so batch_tile % (8 * chains) == 0 gates the split.
+_FWD_CHAINS = (int(_os.environ.get("EEGFLOW_FWD_CHAINS", "0"))
+               or (2 if _FWD_DUAL else 1))
+_BWD_CHAINS_ENV = int(_os.environ.get("EEGFLOW_BWD_CHAINS", "0"))
+
 
 def _sigmoid(x):
     """sigmoid via the tanh identity: Mosaic's tanh is ~2x cheaper than the
@@ -378,7 +388,7 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                      n_parts: int, n_masks: int, keep: float,
                      prng_dropout: bool, n_chunks: int,
                      stream_tc: bool = False, adjoint_res: bool = False,
-                     emit_residuals: bool = True, dual: bool = False):
+                     emit_residuals: bool = True, chains: int = 1):
     """One (batch_tile, time_chunk) grid step: project + recurrence, storing
     (h, c, gates) f32 residuals. The projection matmuls are independent across
     steps, so the MXU pipelines them behind the serial recurrence chain.
@@ -490,10 +500,12 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
 
     for s in range(t_chunk):  # unrolled: static sublane offsets
         i = t_chunk - 1 - s if reverse else s
-        if dual:
-            half = h_sc.shape[0] // 2
-            fwd_step(i, slice(0, half))
-            fwd_step(i, slice(half, None))
+        if chains > 1:
+            # N independent recurrence chains over row slices of the tile:
+            # one chain's carry matmul overlaps another's VPU work
+            rows = h_sc.shape[0] // chains
+            for k in range(chains):
+                fwd_step(i, slice(k * rows, (k + 1) * rows))
         else:
             fwd_step(i)
 
@@ -565,8 +577,10 @@ def lstm_fwd_fused_proj(
                                n_chunks=n_chunks, stream_tc=bool(_BWD_TC),
                                adjoint_res=bool(_ADJ_RES),
                                emit_residuals=need_residuals,
-                               # half-tiles must stay (8, 128)-tile aligned
-                               dual=bool(_FWD_DUAL) and batch_tile % 16 == 0)
+                               # chain slices must stay (8, 128)-tile aligned
+                               chains=(_FWD_CHAINS
+                                       if batch_tile % (8 * _FWD_CHAINS) == 0
+                                       else 1))
     seq_h = jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32)
     res_shape = jax.ShapeDtypeStruct(
         (bsz, t, res_width), jnp.bfloat16 if _RES_BF16 else jnp.float32)
@@ -623,7 +637,7 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                       n_parts: int, n_masks: int, keep: float,
                       prng_dropout: bool, n_chunks: int, n_dxadd: int = 0,
                       mask_from_x: bool = False, stream_tc: bool = False,
-                      adjoint_res: bool = False, dual: bool = False):
+                      adjoint_res: bool = False, chains: int = 1):
     """Adjoint step producing per-part dx and accumulating (dW_ih parts,
     dW_hh, db) into VMEM-resident output blocks. Standard LSTM adjoint,
     gate order i,f,g,o. In-kernel dropout (PRNG seed or uint8 masks)
@@ -763,16 +777,17 @@ def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                                       preferred_element_type=jnp.float32)
             return dz, dz16
 
-        if dual:
-            # two independent adjoint chains over the tile's row halves:
-            # while one half's carry matmul occupies the MXU, the other
-            # half's VPU chain can issue (the per-step chain is latency-
+        if chains > 1:
+            # N independent adjoint chains over the tile's row slices:
+            # while one slice's carry matmul occupies the MXU, another
+            # slice's VPU chain can issue (the per-step chain is latency-
             # bound, not throughput-bound). The off-chain dx/dW matmuls
             # below still run on the full tile.
-            half = dh_sc.shape[0] // 2
-            dz_a, _ = adjoint_chain(dh_sc, dc_sc, sl=slice(0, half))
-            dz_b2, _ = adjoint_chain(dh_sc, dc_sc, sl=slice(half, None))
-            dz = jnp.concatenate([dz_a, dz_b2], axis=0)
+            rows = dh_sc.shape[0] // chains
+            dzs = [adjoint_chain(dh_sc, dc_sc,
+                                 sl=slice(k * rows, (k + 1) * rows))[0]
+                   for k in range(chains)]
+            dz = jnp.concatenate(dzs, axis=0)
             dz16 = dz.astype(jnp.bfloat16)
         else:
             dz, dz16 = adjoint_chain(dh_sc, dc_sc)
@@ -978,6 +993,7 @@ _BWD_PROBE_DUP = int(_os.environ.get("EEGFLOW_BWD_PROBE_DUP", "0"))
 # interleavable chains let the scheduler overlap one half's carry matmul
 # with the other half's VPU work. Composes with EEGFLOW_ADJOINT_RES.
 _BWD_DUAL = int(_os.environ.get("EEGFLOW_BWD_DUAL", "0"))
+_BWD_CHAINS = _BWD_CHAINS_ENV or (2 if _BWD_DUAL else 1)
 
 
 @functools.partial(
@@ -1070,8 +1086,10 @@ def lstm_bwd_fused(
         mask_from_x=mask_from_x,
         **({} if _BWD_V2 else {"stream_tc": stream_tc,
                                "adjoint_res": bool(_ADJ_RES),
-                               # half-tiles must stay (8, 128)-tile aligned
-                               "dual": bool(_BWD_DUAL) and batch_tile % 16 == 0}))
+                               # chain slices must stay (8, 128)-tile aligned
+                               "chains": (_BWD_CHAINS
+                                          if batch_tile % (8 * _BWD_CHAINS) == 0
+                                          else 1)}))
     n_p = len(xs)
     outs = pl.pallas_call(
         kernel,
