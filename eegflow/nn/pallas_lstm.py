@@ -1154,6 +1154,279 @@ def lstm_bwd_fused(
 
 
 # ---------------------------------------------------------------------------
+# Fused dual-DIRECTION backward: both directions of a bidirectional layer in
+# ONE kernel. The two adjoint recurrences are fully independent (they only
+# share the input x), and each is dependency-latency-bound — so interleaving
+# them lets the scheduler fill one direction's carry-matmul stalls with the
+# other's VPU chain, without splitting the batch tile (which narrows the
+# off-chain matmuls). The directions traverse time in opposite orders, so dx
+# comes out per-direction (same grid step = different time chunks) and ONE
+# XLA add outside the kernel produces the summed input cotangent — replacing
+# the dx_add in-kernel stream of the two-launch path. A/B via
+# EEGFLOW_BWD_DUALDIR=1. Composes with EEGFLOW_ADJOINT_RES / EEGFLOW_RES_BF16
+# and with EEGFLOW_BWD_CHAINS (chains split WITHIN each direction).
+# ---------------------------------------------------------------------------
+
+_BWD_DUALDIR = int(_os.environ.get("EEGFLOW_BWD_DUALDIR", "0"))
+# dual-direction doubles the streamed blocks per grid step; default to a
+# halved batch tile (A/B override)
+_DUALDIR_BT = int(_os.environ.get("EEGFLOW_DUALDIR_BT", "0"))
+
+
+def _bwd_dualdir_kernel(*refs, t_chunk: int, hidden: int, n_parts: int,
+                        keep: float, n_chunks: int, mask_from_x: bool,
+                        adjoint_res: bool, chains: int):
+    """One grid step: direction F's adjoint on seq chunk ``n_chunks-1-j``
+    AND direction R's adjoint on seq chunk ``j`` (each direction's BlockSpec
+    index map delivers its own chunk). Per-direction logic mirrors
+    ``_bwd_fused_kernel``'s v1 step (mask_from_x dropout recovery, gates- or
+    adjoint-residuals, optional within-direction chain split)."""
+    n_dir_in = 4 if adjoint_res else 6
+    dir_in = [refs[d * n_dir_in : (d + 1) * n_dir_in] for d in range(2)]
+    o = 2 * n_dir_in
+    x_refs = [refs[o : o + n_parts], refs[o + n_parts : o + 2 * n_parts]]
+    o += 2 * n_parts
+    w_refs = [refs[o : o + 1 + n_parts], refs[o + 1 + n_parts : o + 2 * (1 + n_parts)]]
+    o += 2 * (1 + n_parts)
+    dx_refs = [refs[o : o + n_parts], refs[o + n_parts : o + 2 * n_parts]]
+    o += 2 * n_parts
+    dwih_refs = [refs[o : o + n_parts], refs[o + n_parts : o + 2 * n_parts]]
+    o += 2 * n_parts
+    dwhh_ref = refs[o : o + 2]
+    db_ref = refs[o + 2 : o + 4]
+    dh_sc = refs[o + 4 : o + 6]
+    dc_sc = refs[o + 6 : o + 8]
+
+    inv_keep = 1.0 / keep
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset():
+        for d in range(2):
+            dh_sc[d][:] = jnp.zeros_like(dh_sc[d])
+            dc_sc[d][:] = jnp.zeros_like(dc_sc[d])
+
+    @pl.when(first)
+    def _zero_accumulators():
+        for d in range(2):
+            for r in dwih_refs[d]:
+                r[:] = jnp.zeros_like(r)
+            dwhh_ref[d][:] = jnp.zeros_like(dwhh_ref[d])
+            db_ref[d][:] = jnp.zeros_like(db_ref[d])
+
+    def chain_step(d, s):
+        """The serial adjoint-chain part of direction ``d``'s step ``s``:
+        everything between reading the carries and producing dz."""
+        reverse = d == 1
+        if adjoint_res:
+            z_ref, g_ref, h_ref, hb_ref = dir_in[d]
+            c_ref = cb_ref = None
+        else:
+            z_ref, c_ref, cb_ref, g_ref, h_ref, hb_ref = dir_in[d]
+        i_t = s if reverse else t_chunk - 1 - s
+        boundary = (i_t == t_chunk - 1) if reverse else (i_t == 0)
+        prev = i_t + 1 if reverse else i_t - 1
+        h_prev = hb_ref[:] if boundary else h_ref[:, prev, :]
+        if adjoint_res:
+            res = z_ref[:, i_t, :].astype(jnp.float32)
+        else:
+            c_prev = cb_ref[:] if boundary else c_ref[:, prev, :]
+            g_act = z_ref[:, i_t, :].astype(jnp.float32)
+            gi = g_act[:, :hidden]
+            gf = g_act[:, hidden : 2 * hidden]
+            gg = g_act[:, 2 * hidden : 3 * hidden]
+            go = g_act[:, 3 * hidden :]
+            tc_ = jnp.tanh(c_ref[:, i_t, :])
+
+        def one_chain(sl=slice(None)):
+            dh = g_ref[sl, i_t, :] + dh_sc[d][sl, :]
+            if adjoint_res:
+                dc = dh * res[sl, 3 * hidden : 4 * hidden] + dc_sc[d][sl, :]
+                dc_sc[d][sl, :] = dc * res[sl, 4 * hidden : 5 * hidden]
+                dz = jnp.concatenate(
+                    [dc * res[sl, :hidden],
+                     dc * res[sl, hidden : 2 * hidden],
+                     dc * res[sl, 2 * hidden : 3 * hidden],
+                     dh * res[sl, 5 * hidden :]],
+                    axis=-1,
+                )
+            else:
+                do = dh * tc_[sl]
+                dc = dh * go[sl] * (1.0 - tc_[sl] * tc_[sl]) + dc_sc[d][sl, :]
+                di = dc * gg[sl]
+                df = dc * c_prev[sl]
+                dg = dc * gi[sl]
+                dc_sc[d][sl, :] = dc * gf[sl]
+                dz = jnp.concatenate(
+                    [di * gi[sl] * (1.0 - gi[sl]), df * gf[sl] * (1.0 - gf[sl]),
+                     dg * (1.0 - gg[sl] * gg[sl]), do * go[sl] * (1.0 - go[sl])],
+                    axis=-1,
+                )
+            dh_sc[d][sl, :] = jnp.dot(dz.astype(jnp.bfloat16), w_refs[d][0][:],
+                                      preferred_element_type=jnp.float32)
+            return dz
+
+        if chains > 1:
+            rows = dh_sc[d].shape[0] // chains
+            dz = jnp.concatenate(
+                [one_chain(slice(k * rows, (k + 1) * rows))
+                 for k in range(chains)], axis=0)
+        else:
+            dz = one_chain()
+        return i_t, h_prev, dz, dz.astype(jnp.bfloat16)
+
+    def off_chain(d, i_t, h_prev, dz, dz16):
+        """Direction ``d``'s off-chain work for step ``i_t``: dx, dW_ih,
+        dW_hh, db (full-tile matmuls, independent of the serial chains)."""
+        for p in range(n_parts):
+            dxv = jnp.dot(dz16, w_refs[d][1 + p][:],
+                          preferred_element_type=jnp.float32)
+            xv = x_refs[d][p][:, i_t, :]
+            if mask_from_x:
+                dxv = jnp.where(xv == 0.0, 0.0, dxv * inv_keep)
+            dx_refs[d][p][:, i_t, :] = dxv
+            dwih_refs[d][p][:] += jax.lax.dot_general(
+                xv.astype(jnp.bfloat16), dz16,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dwhh_ref[d][:] += jax.lax.dot_general(
+            h_prev.astype(jnp.bfloat16), dz16,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        db_ref[d][:] += jnp.sum(dz, axis=0, keepdims=True)
+
+    for s in range(t_chunk):  # unrolled: static sublane offsets
+        # both directions' chain steps first (independent — the scheduler
+        # interleaves them), then both off-chain matmul groups
+        step_f = chain_step(0, s)
+        step_r = chain_step(1, s)
+        off_chain(0, *step_f)
+        off_chain(1, *step_r)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "keep",
+                              "mask_from_x")
+)
+def lstm_bwd_dualdir(
+    res_f,
+    res_r,
+    xs,
+    g_f: jnp.ndarray,
+    g_r: jnp.ndarray,
+    w_ih_f: jnp.ndarray,
+    w_hh_f: jnp.ndarray,
+    w_ih_r: jnp.ndarray,
+    w_hh_r: jnp.ndarray,
+    keep: float = 1.0,
+    mask_from_x: bool = False,
+    batch_tile: int = 64,
+    t_chunk: int = 8,
+    interpret: bool = False,
+):
+    """Both directions' backwards in one kernel. ``res_d`` is the per-
+    direction residual tuple ``(z_seq, c_seq, h_seq, h_bound, c_bound)``
+    from the forward (c entries None under EEGFLOW_ADJOINT_RES); ``xs`` the
+    shared padded input parts. Returns per-direction
+    ``(dxs_f, dxs_r, (dw_ih, dw_hh, db)_f, (..)_r)`` — the caller adds
+    ``dxs_f + dxs_r`` (one XLA add, replacing the two-launch dx_add
+    stream)."""
+    if isinstance(xs, jnp.ndarray):
+        xs = (xs,)
+    z_f, c_f, h_f, hb_f, cb_f = res_f
+    z_r, c_r, h_r, hb_r, cb_r = res_r
+    bsz, t, res_w = z_f.shape
+    hidden = res_w // (6 if _ADJ_RES else 4)
+    g4 = 4 * hidden
+    widths = [p.shape[-1] for p in xs]
+    wp_f = _split_rows(w_ih_f, widths)
+    wp_r = _split_rows(w_ih_r, widths)
+    assert bsz % batch_tile == 0 and t % t_chunk == 0
+    n_chunks = t // t_chunk
+
+    def cast_z(z):
+        # bf16 gate residuals (EEGFLOW_RES_BF16) stream as-is, upcast per
+        # block in VMEM (see lstm_bwd_fused)
+        return z if z.dtype == jnp.bfloat16 else z.astype(jnp.float32)
+
+    # direction F's adjoint walks chunks newest-first, R's oldest-first
+    idx_f = lambda i, j: (i, n_chunks - 1 - j, 0)
+    bidx_f = lambda i, j: (i, n_chunks - 1 - j)
+    idx_r = lambda i, j: (i, j, 0)
+    bidx_r = lambda i, j: (i, j)
+    blk = lambda width, idx: pl.BlockSpec((batch_tile, t_chunk, width), idx,
+                                          memory_space=pltpu.VMEM)
+    bound = lambda bidx: pl.BlockSpec((batch_tile, hidden), bidx,
+                                      memory_space=pltpu.VMEM)
+    const = lambda a, b_: pl.BlockSpec((a, b_), lambda i, j: (0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    def dir_in_specs(idx, bidx):
+        if _ADJ_RES:
+            return [blk(res_w, idx), blk(hidden, idx), blk(hidden, idx),
+                    bound(bidx)]
+        return [blk(res_w, idx), blk(hidden, idx), bound(bidx),
+                blk(hidden, idx), blk(hidden, idx), bound(bidx)]
+
+    def dir_in_vals(z, c, cb, g, h, hb):
+        if _ADJ_RES:
+            return [cast_z(z), g.astype(jnp.float32), h.astype(jnp.float32),
+                    hb]
+        return [cast_z(z), c.astype(jnp.float32), cb,
+                g.astype(jnp.float32), h.astype(jnp.float32), hb]
+
+    kernel = functools.partial(
+        _bwd_dualdir_kernel, t_chunk=t_chunk, hidden=hidden,
+        n_parts=len(xs), keep=keep, n_chunks=n_chunks,
+        mask_from_x=mask_from_x, adjoint_res=bool(_ADJ_RES),
+        # chain slices must stay (8, 128)-tile aligned
+        chains=(_BWD_CHAINS if batch_tile % (8 * _BWD_CHAINS) == 0 else 1))
+    n_p = len(xs)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz // batch_tile, n_chunks),
+        in_specs=dir_in_specs(idx_f, bidx_f) + dir_in_specs(idx_r, bidx_r)
+        + [blk(w, idx_f) for w in widths]    # x parts, F traversal
+        + [blk(w, idx_r) for w in widths]    # x parts, R traversal
+        + [const(g4, hidden)] + [const(g4, w) for w in widths]   # W_f^T
+        + [const(g4, hidden)] + [const(g4, w) for w in widths],  # W_r^T
+        out_specs=tuple([blk(w, idx_f) for w in widths]
+                        + [blk(w, idx_r) for w in widths]
+                        + [const(w, g4) for w in widths] * 2
+                        + [const(hidden, g4)] * 2 + [const(1, g4)] * 2),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((bsz, t, w), jnp.float32)
+             for w in widths] * 2
+            + [jax.ShapeDtypeStruct((w, g4), jnp.float32) for w in widths] * 2
+            + [jax.ShapeDtypeStruct((hidden, g4), jnp.float32)] * 2
+            + [jax.ShapeDtypeStruct((1, g4), jnp.float32)] * 2),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dh carry F
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dh carry R
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dc carry F
+            pltpu.VMEM((batch_tile, hidden), jnp.float32),  # dc carry R
+        ],
+        # doubled streams: allow the full 128 MB physical VMEM of the v5e
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        *dir_in_vals(z_f, c_f, cb_f, g_f, h_f, hb_f),
+        *dir_in_vals(z_r, c_r, cb_r, g_r, h_r, hb_r),
+        *([p.astype(jnp.float32) for p in xs] * 2),
+        w_hh_f.astype(jnp.bfloat16).T,
+        *[w.astype(jnp.bfloat16).T for w in wp_f],
+        w_hh_r.astype(jnp.bfloat16).T,
+        *[w.astype(jnp.bfloat16).T for w in wp_r],
+    )
+    dxs_f, dxs_r = tuple(outs[:n_p]), tuple(outs[n_p : 2 * n_p])
+    cat = lambda ws: (ws[0] if n_p == 1 else jnp.concatenate(ws, axis=0))
+    dwih_f = cat(outs[2 * n_p : 3 * n_p])
+    dwih_r = cat(outs[3 * n_p : 4 * n_p])
+    dwhh_f, dwhh_r = outs[4 * n_p], outs[4 * n_p + 1]
+    db_f, db_r = outs[4 * n_p + 2][0], outs[4 * n_p + 3][0]
+    return dxs_f, dxs_r, (dwih_f, dwhh_f, db_f), (dwih_r, dwhh_r, db_r)
+
+
+# ---------------------------------------------------------------------------
 # Backward kernel: reverse-time adjoint recurrence, dW_hh left to XLA
 # ---------------------------------------------------------------------------
 
@@ -1579,6 +1852,24 @@ def _bilstm_bwd(bf16, keep, mask_from_x, residuals, g):
         tc = _pick_tile(z_pad.shape[1], _FUSED_T_CHUNK)
         pad = lambda gg: (jnp.pad(gg, ((0, pad_b), (0, 0), (0, 0)))
                           if pad_b else gg)
+        if (_BWD_DUALDIR and not _BWD_V2 and not masks_pad
+                and seed is None and tc_pad is None):
+            (h_r, c_r, z_r, _, hb_r, cb_r, _, _) = res_r
+            bt_dd = _pick_tile(z_pad.shape[0], _DUALDIR_BT or 64)
+            dxs_f, dxs_r, (dwih_f, dwhh_f, db_f), (dwih_b, dwhh_b, db_b) = \
+                lstm_bwd_dualdir(
+                    (z_pad, c_pad, h_pad, h_bound, c_bound),
+                    (z_r, c_r, h_r, hb_r, cb_r),
+                    xs_pad, pad(g_f), pad(g_r),
+                    pf["w_ih"], pf["w_hh"], pb["w_ih"], pb["w_hh"],
+                    keep=keep, mask_from_x=mask_from_x,
+                    batch_tile=bt_dd, t_chunk=tc,
+                    interpret=_auto_interpret(None))
+            dxs = tuple((a + b)[:b_sz].astype(p.dtype)
+                        for a, b, p in zip(dxs_f, dxs_r, xs))
+            return ({"w_ih": dwih_f, "w_hh": dwhh_f, "b": db_f},
+                    {"w_ih": dwih_b, "w_hh": dwhh_b, "b": db_b},
+                    dxs, _mask_cotangents(masks), _seed_cotangent(seed))
         dxs_f, dwih_f, dwhh_f, db_f = lstm_bwd_fused(
             z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, pad(g_f),
             pf["w_ih"], pf["w_hh"], masks_pad, keep, seed,

@@ -1,0 +1,93 @@
+"""Subprocess worker: validate kernel experiment-flag modes vs the scan oracle.
+
+The EEGFLOW_* kernel flags (docs/DESIGN.md §5) are read at module import, and
+the fused kernels are wrapped in module-level ``jax.jit``s — so a flag flip
+requires a fresh module (reload) to avoid silently reusing traces cached under
+the old flag. This worker reloads ``eegflow.nn.pallas_lstm`` once per flag set
+and checks the bidirectional fused layer's gradients (params + input parts)
+against the ``lax.scan`` reference on CPU interpret mode.
+
+Run by tests/test_kernel_flags.py in ONE subprocess (jax imported once).
+"""
+import importlib
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("EEGFLOW_FUSED_BT", "32")
+os.environ.setdefault("EEGFLOW_DUALDIR_BT", "32")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_platforms", "cpu")
+
+from eegflow.nn.lstm import lstm_layer_apply, lstm_layer_init  # noqa: E402
+
+FLAG_SETS = [
+    # the fused dual-DIRECTION backward (round 4)
+    {"EEGFLOW_BWD_DUALDIR": "1"},
+    # ... composed with adjoint residuals, bf16 residuals, 2-chain ILP
+    {"EEGFLOW_BWD_DUALDIR": "1", "EEGFLOW_ADJOINT_RES": "1",
+     "EEGFLOW_RES_BF16": "1", "EEGFLOW_BWD_CHAINS": "2"},
+    # the round-3 modes together (two-launch path)
+    {"EEGFLOW_ADJOINT_RES": "1", "EEGFLOW_RES_BF16": "1",
+     "EEGFLOW_FWD_DUAL": "1", "EEGFLOW_BWD_DUAL": "1"},
+    # 4-way chain ILP (engages only when batch_tile % 32 == 0)
+    {"EEGFLOW_FWD_CHAINS": "4", "EEGFLOW_BWD_CHAINS": "4"},
+]
+
+ALL_FLAGS = sorted({k for fs in FLAG_SETS for k in fs})
+
+B, T, H = 32, 8, 16
+rng = np.random.default_rng(0)
+xa = jnp.asarray(rng.standard_normal((B, T, 8)), jnp.float32)
+xb = jnp.asarray(rng.standard_normal((B, T, 8)), jnp.float32)
+pf = lstm_layer_init(jax.random.key(2), 16, H)
+pb = lstm_layer_init(jax.random.key(3), 16, H)
+
+
+def loss_scan(pf_, pb_, parts_):
+    xx = jnp.concatenate(parts_, -1)
+    hf = lstm_layer_apply(pf_, xx)
+    hr = lstm_layer_apply(pb_, xx, reverse=True)
+    return jnp.sum(hf**2) + jnp.sum(hr * hf) + jnp.sum(hr**2)
+
+
+g_ref = jax.grad(loss_scan, argnums=(0, 1, 2))(pf, pb, (xa, xb))
+
+
+def assert_close(tag, got, want):
+    for a, b, name in [(got[0], want[0], "pf"), (got[1], want[1], "pb")]:
+        for k in a:
+            x, y = np.asarray(a[k]), np.asarray(b[k])
+            err = np.abs(x - y).max() / max(1.0, np.abs(y).max())
+            assert err < 2e-2, (tag, name, k, float(err))
+    for i, (x, y) in enumerate(zip(got[2], want[2])):
+        x, y = np.asarray(x), np.asarray(y)
+        err = np.abs(x - y).max() / max(1.0, np.abs(y).max())
+        assert err < 2e-2, (tag, "dx", i, float(err))
+
+
+for flag_set in FLAG_SETS:
+    for k in ALL_FLAGS:
+        os.environ.pop(k, None)
+    os.environ.update(flag_set)
+    import eegflow.nn.pallas_lstm as pk
+
+    pk = importlib.reload(pk)
+    tag = "+".join(f"{k.removeprefix('EEGFLOW_')}={v}"
+                   for k, v in sorted(flag_set.items()))
+
+    def loss_fused(pf_, pb_, parts_, _pk=pk):
+        hf, hr = _pk.bilstm_layer_fused_parts(pf_, pb_, parts_, bf16=True)
+        return jnp.sum(hf**2) + jnp.sum(hr * hf) + jnp.sum(hr**2)
+
+    g = jax.grad(loss_fused, argnums=(0, 1, 2))(pf, pb, (xa, xb))
+    assert_close(tag, g, g_ref)
+    print(tag, "OK", flush=True)
+
+print("ALL_FLAG_SETS_OK")
