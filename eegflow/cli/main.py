@@ -707,7 +707,8 @@ def cmd_parity(args):
             from eegflow.data.synthetic import generate_synthetic_dataset
 
             generate_synthetic_dataset(args.data_dir, n_subjects=args.subjects,
-                                       duration_s=args.duration)
+                                       duration_s=args.duration,
+                                       n_channels=args.channels)
             print(f"no recordings found; generated a synthetic dataset under "
                   f"{args.data_dir} (results will be marked not-comparable)")
         elif args.yes:
@@ -832,6 +833,8 @@ def main(argv=None):
                         "±0.5 pp check once egress exists)")
     p.add_argument("--subjects", type=int, default=24)
     p.add_argument("--duration", type=float, default=60.0)
+    p.add_argument("--channels", type=int, default=61,
+                   help="synthetic-mode channel count (real data is 61)")
     p.add_argument("--epochs", type=int, default=None)
     p.set_defaults(fn=cmd_parity)
 

@@ -210,7 +210,8 @@ def test_parity_runner_synthetic(tmp_path):
     cfg.to_json(cfg_path)
     rc = main(["--data-dir", str(data_dir), "--output-dir", str(out),
                "--config", str(cfg_path), "parity", "--synthetic",
-               "--subjects", "4", "--duration", "15", "--epochs", "2"])
+               "--subjects", "4", "--duration", "15", "--channels", "8",
+               "--epochs", "2"])
     assert rc == 0
     report = json.loads((out / "results" / "parity_report.json").read_text())
     assert report["comparable"] is False
