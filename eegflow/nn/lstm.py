@@ -199,6 +199,20 @@ def bilstm_stack_apply(
         # EEGFLOW_KERNEL_DROPOUT=1 to use the (validated) in-kernel path.
         use_prng = (use_bf16 and not _auto_interpret(None)
                     and _os.environ.get("EEGFLOW_KERNEL_DROPOUT", "0") == "1")
+        # A/B candidate (EEGFLOW_MASK_DROPOUT=1): XLA generates only uint8
+        # masks (threefry + compare, (B,T,H) bytes) and the kernels apply
+        # them on load — the dropped f32 tensors and their select fusions
+        # never exist in HBM (a full (B,T,H) f32 write+read saved per part
+        # vs the default fwd-only-select path). Uses the kernels' mask path
+        # (the PRNG path's validation oracle), so gradients are exact.
+        use_masks = (not use_prng and _os.environ.get(
+            "EEGFLOW_MASK_DROPOUT", "0") == "1")
+
+        def make_masks(parts_, rate, keys_):
+            # same per-part keys as the select path -> bit-identical patterns
+            return tuple(
+                jax.random.bernoulli(k, 1.0 - rate, p.shape).astype(jnp.uint8)
+                for k, p in zip(keys_, parts_))
 
         def key_seed(key):
             return jax.random.key_data(key).astype(jnp.uint32).view(
@@ -217,11 +231,14 @@ def bilstm_stack_apply(
         # the zeros of the dropped input (mask_from_x) — the XLA
         # dropout-backward fusions (~4 ms/step at B=512) never exist.
         parts = (x,)
-        keep, seed, from_x = 1.0, None, False
+        keep, seed, from_x, masks = 1.0, None, False, None
         if input_dropout > 0.0 and train and input_dropout_key is not None:
             if use_prng:
                 keep = 1.0 - input_dropout
                 seed = key_seed(input_dropout_key)
+            elif use_masks:
+                masks = make_masks(parts, input_dropout, (input_dropout_key,))
+                keep = 1.0 - input_dropout
             else:
                 parts = (dropout_fwd_only(x, input_dropout,
                                           input_dropout_key),)
@@ -232,18 +249,24 @@ def bilstm_stack_apply(
                 # both directions under one custom VJP: their input
                 # cotangents sum inside the reverse backward kernel
                 parts = bilstm_layer_fused_parts(
-                    layer["fwd"], layer["bwd"], parts, use_bf16, None, keep,
+                    layer["fwd"], layer["bwd"], parts, use_bf16, masks, keep,
                     seed, from_x)
             else:
                 parts = (lstm_layer_fused_parts(
                     layer["fwd"]["w_ih"], layer["fwd"]["w_hh"],
-                    layer["fwd"]["b"], parts, False, use_bf16, None, keep,
+                    layer["fwd"]["b"], parts, False, use_bf16, masks, keep,
                     seed, from_x),)
             if (idx < n - 1 and inter_dropout > 0.0 and train
                     and dropout_key is not None):
                 key = jax.random.fold_in(dropout_key, idx)
                 if use_prng:
                     keep, seed, from_x = 1.0 - inter_dropout, key_seed(key), False
+                elif use_masks:
+                    masks = make_masks(
+                        parts, inter_dropout,
+                        tuple(jax.random.fold_in(key, j)
+                              for j in range(len(parts))))
+                    keep = 1.0 - inter_dropout
                 else:
                     seed = None
                     parts = tuple(
@@ -252,7 +275,7 @@ def bilstm_stack_apply(
                         for j, p in enumerate(parts))
                     keep, from_x = 1.0 - inter_dropout, True
             else:
-                keep, seed, from_x = 1.0, None, False
+                keep, seed, from_x, masks = 1.0, None, False, None
         if return_parts:
             return parts
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)

@@ -16,6 +16,8 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("EEGFLOW_FUSED_BT", "32")
 os.environ.setdefault("EEGFLOW_DUALDIR_BT", "32")
+# t_chunk 4 halves the unrolled-kernel trace cost (the dominant cost here)
+os.environ.setdefault("EEGFLOW_FUSED_TC", "4")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

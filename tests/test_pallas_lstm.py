@@ -399,3 +399,33 @@ def test_stack_input_dropout_grads_match_scan_exactly():
                                    atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gs_x),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_stack_mask_dropout_mode_matches_default(monkeypatch):
+    """EEGFLOW_MASK_DROPOUT=1 (uint8 masks applied in-kernel, the dropped
+    tensors never exist in HBM) must reproduce the default select path's
+    outputs AND gradients exactly: both draw the same bernoulli patterns
+    from the same per-part keys, only where the multiply happens differs."""
+    from eegflow.nn.lstm import bilstm_stack_apply, bilstm_stack_init
+
+    layers = bilstm_stack_init(jax.random.key(0), 12, 8, num_layers=2)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((8, 16, 12)),
+                    jnp.float32)
+
+    def loss(ls, xx):
+        out = bilstm_stack_apply(
+            ls, xx, inter_dropout=0.3, train=True,
+            dropout_key=jax.random.key(9), impl="pallas",
+            input_dropout=0.15, input_dropout_key=jax.random.key(10))
+        return jnp.sum(out ** 2)
+
+    monkeypatch.delenv("EEGFLOW_MASK_DROPOUT", raising=False)
+    v0, (gl0, gx0) = jax.value_and_grad(loss, argnums=(0, 1))(layers, x)
+    monkeypatch.setenv("EEGFLOW_MASK_DROPOUT", "1")
+    v1, (gl1, gx1) = jax.value_and_grad(loss, argnums=(0, 1))(layers, x)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gl0), jax.tree.leaves(gl1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                               atol=1e-5, rtol=1e-5)
