@@ -21,6 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Interpret-mode kernel tests are TRACE/COMPILE-bound: the fused kernels
+# unroll t_chunk steps into the jaxpr, so t_chunk 4 (vs the TPU-tuned
+# default 8) roughly halves every pallas test's trace+compile cost while
+# exercising MORE chunk-boundary transitions. Production defaults are
+# untouched (this is the test harness only); respect an explicit override.
+os.environ.setdefault("EEGFLOW_FUSED_TC", "4")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -160,7 +160,9 @@ def test_stage_forecast(pipeline_dirs):
 
 def test_stage_ablate(pipeline_dirs):
     base, _, out = pipeline_dirs
-    run(base, "ablate", "--epochs", "2", "--hidden", "8")
+    # 1 epoch: this test checks the stage's artifact contract (6 configs,
+    # stats, tables); learning quality is test_ablation.py's job
+    run(base, "ablate", "--epochs", "1", "--hidden", "8")
     res = json.loads((out / "results" / "sensitivity_analysis.json").read_text())
     assert len(res["ablation"]) == 6
     assert "No Attention" in res["statistical_comparison"]
