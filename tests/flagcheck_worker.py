@@ -16,8 +16,9 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("EEGFLOW_FUSED_BT", "32")
 os.environ.setdefault("EEGFLOW_DUALDIR_BT", "32")
-# t_chunk 4 halves the unrolled-kernel trace cost (the dominant cost here)
-os.environ.setdefault("EEGFLOW_FUSED_TC", "4")
+# t_chunk 2 quarters the unrolled-kernel trace cost (the dominant cost here)
+# while giving MORE chunk-boundary transitions (T=8 -> 4 chunks)
+os.environ.setdefault("EEGFLOW_FUSED_TC", "2")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -35,11 +36,26 @@ FLAG_SETS = [
     # ... composed with adjoint residuals, bf16 residuals, 2-chain ILP
     {"EEGFLOW_BWD_DUALDIR": "1", "EEGFLOW_ADJOINT_RES": "1",
      "EEGFLOW_RES_BF16": "1", "EEGFLOW_BWD_CHAINS": "2"},
+    # ... and without the chain split (a distinct residual-read schedule)
+    {"EEGFLOW_BWD_DUALDIR": "1", "EEGFLOW_ADJOINT_RES": "1",
+     "EEGFLOW_RES_BF16": "1"},
     # the round-3 modes together (two-launch path)
     {"EEGFLOW_ADJOINT_RES": "1", "EEGFLOW_RES_BF16": "1",
      "EEGFLOW_FWD_DUAL": "1", "EEGFLOW_BWD_DUAL": "1"},
     # 4-way chain ILP (engages only when batch_tile % 32 == 0)
     {"EEGFLOW_FWD_CHAINS": "4", "EEGFLOW_BWD_CHAINS": "4"},
+    # every A/B-queued mode alone (tools/jobs_r4.json) — singles are their
+    # own codegen paths, not subsets of the combos above
+    {"EEGFLOW_ADJOINT_RES": "1"},
+    {"EEGFLOW_RES_BF16": "1"},
+    {"EEGFLOW_ADJOINT_RES": "1", "EEGFLOW_RES_BF16": "1"},
+    {"EEGFLOW_FWD_DUAL": "1"},
+    {"EEGFLOW_BWD_DUAL": "1"},
+    {"EEGFLOW_ADJOINT_RES": "1", "EEGFLOW_BWD_DUAL": "1"},
+    # asymmetric chain splits: fwd default with 4-chain bwd and vice versa
+    # (residual layout must be chain-count independent)
+    {"EEGFLOW_BWD_CHAINS": "4"},
+    {"EEGFLOW_FWD_CHAINS": "4"},
 ]
 
 ALL_FLAGS = sorted({k for fs in FLAG_SETS for k in fs})
