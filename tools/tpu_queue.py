@@ -81,9 +81,13 @@ def main() -> int:
             continue
         attempts = job.get("retries", 2) + 1
         for attempt in range(attempts):
-            if time.time() > t_end:
-                print("[queue] deadline reached", flush=True)
-                return 1
+            # never START a job whose timeout crosses the deadline: the TPU
+            # chip is exclusive, and a job overrunning the deadline would
+            # still hold it when the driver's own bench run needs it
+            if time.time() + job.get("timeout_s", 900) > t_end:
+                print(f"[queue] skipping {name}: timeout_s would cross "
+                      "the deadline", flush=True)
+                break
             # wait for a live tunnel (poll; outages last hours)
             while not probe():
                 if time.time() > t_end:
