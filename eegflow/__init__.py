@@ -20,4 +20,5 @@ from eegflow.core.config import (  # noqa: F401
     PipelineConfig,
     PreprocessConfig,
     TrainConfig,
+    TransformerConfig,
 )

@@ -93,7 +93,10 @@ def save_checkpoint(
         (path / "params.msgpack").write_bytes(serialization.to_bytes(params))
     cfg = {f: getattr(model_config, f) for f in model_config.__dataclass_fields__}
     payload = {"model_config": cfg, "history": _jsonable(history or {}),
-               "extra": _jsonable(extra or {}), "backend": backend}
+               "extra": _jsonable(extra or {}), "backend": backend,
+               # model-family tag: classifier_init/apply dispatch on the
+               # config TYPE, so the checkpoint must round-trip it
+               "model_type": type(model_config).__name__}
     (path / "checkpoint.json").write_text(json.dumps(payload, indent=2))
     return path
 
@@ -109,7 +112,12 @@ def load_checkpoint(path: str | Path, params_template: Any = None):
 
     path = Path(path)
     payload = json.loads((path / "checkpoint.json").read_text())
-    cfg = ModelConfig(**payload["model_config"])
+    from eegflow.core.config import TransformerConfig
+
+    cfg_cls = {"ModelConfig": ModelConfig,
+               "TransformerConfig": TransformerConfig}[
+        payload.get("model_type", "ModelConfig")]
+    cfg = cfg_cls(**payload["model_config"])
     if payload.get("backend") == "orbax":
         import orbax.checkpoint as ocp
 

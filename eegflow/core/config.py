@@ -104,6 +104,32 @@ class ModelConfig:
 
 
 @dataclass(frozen=True)
+class TransformerConfig:
+    """EEGFormer architecture (eegflow.nn.transformer) — a TPU-first
+    attention-only alternative to the BiLSTM flagship. Beyond the reference's
+    scope (its ``MultiHeadAttention``, ref 04_lstm_model.py:73-109, is dead
+    code); selected by passing this config wherever a ``ModelConfig`` goes —
+    ``classifier_init/apply`` dispatch on the config type.
+
+    ``d_model=None`` resolves like the flagship's hidden size (256 when
+    input_size > 30 else 128).
+    """
+
+    input_size: int = 61
+    d_model: Optional[int] = None
+    num_layers: int = 4
+    num_heads: int = 4
+    mlp_ratio: int = 4
+    num_classes: int = 2
+    dropout: float = 0.3
+
+    def resolved_d_model(self) -> int:
+        if self.d_model is not None:
+            return self.d_model
+        return 256 if self.input_size > 30 else 128
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Training-loop hyperparameters (ref: 04_lstm_model.py:406-451,866-873)."""
 

@@ -14,3 +14,7 @@ from eegflow.nn.lstm import (  # noqa: F401
     lstm_layer_init,
 )
 from eegflow.nn.model import classifier_apply, classifier_init, model_flops_per_window  # noqa: F401
+from eegflow.nn.transformer import (  # noqa: F401
+    transformer_apply,
+    transformer_init,
+)

@@ -44,22 +44,27 @@ def additive_attention_apply(
 def multihead_attention_init(
     key: jax.Array, hidden: int, num_heads: int = 4
 ) -> Dict[str, object]:
+    del num_heads  # head count is an apply-time arg: params hold ONLY arrays
     ks = jax.random.split(key, 4)
     return {
         "query": dense_init(ks[0], hidden, hidden),
         "key": dense_init(ks[1], hidden, hidden),
         "value": dense_init(ks[2], hidden, hidden),
         "out": dense_init(ks[3], hidden, hidden),
-        "num_heads": num_heads,
     }
 
 
 def multihead_attention_apply(
-    params: Dict[str, object], x: jnp.ndarray, compute_dtype=None
+    params: Dict[str, object], x: jnp.ndarray, num_heads: int = 4,
+    compute_dtype=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, T, H) -> (output (B, T, H), head+query-averaged weights (B, T))."""
+    """(B, T, H) -> (output (B, T, H), head+query-averaged weights (B, T)).
+
+    ``num_heads`` is a static argument, not a params leaf — an int leaf
+    would break ``jax.grad`` over the params pytree (non-inexact dtype).
+    """
     b, t, hdim = x.shape
-    n_heads = params["num_heads"]
+    n_heads = num_heads
     head_dim = hdim // n_heads
 
     def split_heads(y):

@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from eegflow.core.config import ModelConfig
+from eegflow.core.config import ModelConfig, TransformerConfig
 from eegflow.nn.attention import additive_attention_apply, additive_attention_init
 from eegflow.nn.layers import (
     dense_apply,
@@ -32,6 +32,10 @@ from eegflow.nn.lstm import bilstm_stack_apply, bilstm_stack_init
 
 
 def classifier_init(key: jax.Array, config: ModelConfig) -> Dict[str, Any]:
+    if isinstance(config, TransformerConfig):
+        from eegflow.nn.transformer import transformer_init
+
+        return transformer_init(key, config)
     hidden = config.resolved_hidden()
     n_dir = 2 if config.bidirectional else 1
     lstm_out = hidden * n_dir
@@ -72,6 +76,13 @@ def classifier_apply(
     pallas on TPU and scan elsewhere (see
     eegflow.nn.lstm.resolve_lstm_impl for the measurement).
     """
+    if isinstance(config, TransformerConfig):
+        from eegflow.nn.transformer import transformer_apply
+
+        return transformer_apply(
+            params, x, config, train=train, dropout_key=dropout_key,
+            return_attention=return_attention, compute_dtype=compute_dtype)
+
     from eegflow.nn.lstm import resolve_lstm_impl
 
     lstm_impl = resolve_lstm_impl(lstm_impl)
@@ -137,6 +148,10 @@ def classifier_apply(
 
 def model_flops_per_window(config: ModelConfig, seq_len: int = 256) -> int:
     """Forward-pass FLOPs per window (matmuls only) — for bench reporting."""
+    if isinstance(config, TransformerConfig):
+        from eegflow.nn.transformer import transformer_flops_per_window
+
+        return transformer_flops_per_window(config, seq_len)
     h = config.resolved_hidden()
     n_dir = 2 if config.bidirectional else 1
     c = config.input_size
