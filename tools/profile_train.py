@@ -21,20 +21,24 @@ def main():
     import jax, jax.numpy as jnp
     if _os.environ.get("EEGFLOW_PRNG"):
         jax.config.update("jax_default_prng_impl", _os.environ["EEGFLOW_PRNG"])
-    from eegflow.core.config import ModelConfig, TrainConfig
+    from eegflow.core.config import ModelConfig, TrainConfig, TransformerConfig
     from eegflow.core.profiling import device_time, TPU_V5E_BF16_PEAK_FLOPS
     from eegflow.nn.model import classifier_init, model_flops_per_window
     from eegflow.train.steps import TrainState, make_optimizer, make_train_step
 
-    model_cfg = ModelConfig(input_size=61)
     base_cfg = TrainConfig(batch_size=args.batch, accumulation_steps=4, bf16=True)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((args.batch, 256, model_cfg.input_size)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((args.batch, 256, 61)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 2, args.batch))
-    flops_step = 3 * model_flops_per_window(model_cfg) * args.batch
 
     for impl in impls:
-        cfg = dataclasses.replace(base_cfg, lstm_impl=impl)
+        # "transformer" profiles the EEGFormer family at flagship scale
+        # (d=256, 4 layers); other impls select the BiLSTM's lstm_impl
+        model_cfg = (TransformerConfig(input_size=61)
+                     if impl == "transformer" else ModelConfig(input_size=61))
+        flops_step = 3 * model_flops_per_window(model_cfg) * args.batch
+        cfg = dataclasses.replace(
+            base_cfg, lstm_impl="scan" if impl == "transformer" else impl)
         params = classifier_init(jax.random.key(0), model_cfg)
         tx = make_optimizer(cfg, updates_per_epoch=100)
         state = [TrainState(params, tx.init(params), jnp.asarray(0))]
@@ -53,6 +57,8 @@ def main():
             print(f"[{impl}] NO TRACE PARSED", flush=True); continue
         n_done = dt.iters_done or args.steps
         step_s = dt.total_self_time_s / n_done
+        if step_s <= 0.0:  # CPU smoke runs: trace has no device ops
+            print(f"[{impl}] NO DEVICE TIME IN TRACE", flush=True); continue
         mfu = flops_step / step_s / TPU_V5E_BF16_PEAK_FLOPS
         print(f"[{impl}] device {step_s*1e3:.2f} ms/step | "
               f"{args.batch/step_s:,.0f} windows/s | MFU {mfu*100:.1f}%", flush=True)
