@@ -227,6 +227,18 @@ def cmd_train(args):
     if args.epochs:
         train_cfg = dataclasses.replace(train_cfg, epochs=args.epochs)
     model_cfg = dataclasses.replace(cfg.model, input_size=x_train.shape[2])
+    if getattr(args, "model", "lstm") == "transformer":
+        # EEGFormer family (beyond-reference): same stages, same checkpoint
+        # contract — classifier_init/apply dispatch on the config type.
+        # Dimensions derive from the configured model tree (hidden_size ->
+        # d_model, layers/heads/dropout shared).
+        from eegflow.core.config import TransformerConfig
+
+        model_cfg = TransformerConfig(
+            input_size=x_train.shape[2], d_model=cfg.model.hidden_size,
+            num_layers=cfg.model.num_layers, num_heads=cfg.model.num_heads,
+            dropout=cfg.model.dropout)
+        print("model family: transformer (EEGFormer)")
 
     # Small-subject-count runs memorize their few training subjects (the
     # reference never hits this: ds004148 has 60). Auto-enable the extra
@@ -804,6 +816,9 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="train the BiLSTM-attention classifier")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--model", choices=["lstm", "transformer"], default="lstm",
+                   help="model family: the reference-parity BiLSTM or the "
+                        "EEGFormer attention encoder")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
     p.set_defaults(fn=cmd_train)

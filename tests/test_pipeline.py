@@ -187,6 +187,27 @@ def test_stage_export(pipeline_dirs):
     assert "test" in summary
 
 
+def test_stage_train_transformer_family_and_downstream(pipeline_dirs):
+    """`train --model transformer` (EEGFormer) through the SAME stage, then a
+    downstream stage consumes the transformer checkpoint — the pipeline is
+    model-family agnostic. Runs LAST in the module: it overwrites the LSTM
+    checkpoint the earlier stages already consumed."""
+    base, _, out = pipeline_dirs
+    # 1 epoch: this checks the stage/checkpoint/downstream CONTRACT for the
+    # second model family; learning quality is test_transformer.py's job
+    run(base, "train", "--epochs", "1", "--model", "transformer")
+    ckpt = json.loads(
+        (out / "models" / "lstm_attention" / "checkpoint.json").read_text())
+    assert ckpt["model_type"] == "TransformerConfig"
+    res = json.loads((out / "results" / "lstm_results.json").read_text())
+    assert 0.0 <= res["accuracy"] <= 1.0
+    # coupled LSTM->ODE stage reloads the checkpoint by type tag and runs
+    # the full integration path on the transformer's probabilities
+    run(base, "integrate")
+    ires = json.loads((out / "results" / "integration_results.json").read_text())
+    assert 0.0 <= ires["evaluation"]["accuracy"] <= 1.0
+
+
 def test_download_requires_confirmation(tmp_path, capsys):
     """download without -y refuses before touching the network (ref -y flag)."""
     rc = main(["--data-dir", str(tmp_path), "download"])
