@@ -136,6 +136,35 @@ def test_mesh_train_step_runs_sharded(rng):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_explain_stack_finds_signal_channel(rng):
+    """The explain stack is model-family agnostic: train the transformer on
+    data where only channel 2 is informative (same recipe as the LSTM's
+    tests/test_explain.py fixture); permutation importance must single it
+    out, and gradient attribution must produce a valid distribution (plain
+    gradients saturate on near-separable transformers, so only permutation
+    gets the ranking assertion)."""
+    from eegflow.explain.gradient import gradient_channel_importance
+    from eegflow.explain.permutation import permutation_channel_importance
+
+    n, t = 384, 32
+    y = (rng.random(n) > 0.5).astype(np.int64)
+    x = rng.standard_normal((n, t, 4)).astype(np.float32)
+    wave = np.sin(2 * np.pi * np.arange(t) / 8.0).astype(np.float32)
+    x[y == 1, :, 2] += 2.5 * wave
+    res = train_classifier(x[:256], y[:256], x[256:], y[256:], TOY_TF,
+                           TOY_TRAIN, verbose=False)
+    assert res.best_val_f1 > 0.8
+    perm = permutation_channel_importance(res.params, TOY_TF, x[256:],
+                                          y[256:], n_permutations=3,
+                                          n_samples=128)
+    assert int(np.argmax(perm["importance"])) == 2
+    grad = gradient_channel_importance(res.params, TOY_TF, x[256:],
+                                       n_samples=64)
+    imp = np.asarray(grad["importance"])
+    assert imp.shape == (4,) and np.all(np.isfinite(imp))
+    np.testing.assert_allclose(imp.sum(), 1.0, atol=1e-6)
+
+
 def test_flops_dispatch_positive():
     fl = model_flops_per_window(TOY_TF, seq_len=32)
     assert fl > 0
