@@ -74,6 +74,9 @@ def main() -> int:
                if summary_path.exists() else {})
 
     t_end = time.time() + args.deadline_s
+    # a succeeded job IS a liveness proof: only re-probe (40s+ through the
+    # tunnel) before the first job and after a failure/timeout
+    tunnel_proven = False
     for job in jobs:
         name = job["name"]
         if summary.get(name, {}).get("rc") == 0:
@@ -89,7 +92,7 @@ def main() -> int:
                       "the deadline", flush=True)
                 break
             # wait for a live tunnel (poll; outages last hours)
-            while not probe():
+            while not tunnel_proven and not probe():
                 if time.time() > t_end:
                     print("[queue] deadline reached while polling", flush=True)
                     return 1
@@ -103,6 +106,7 @@ def main() -> int:
             summary_path.write_text(json.dumps(summary, indent=1))
             print(f"[queue] {name}: rc={res['rc']} in {res['wall_s']}s",
                   flush=True)
+            tunnel_proven = res["rc"] == 0
             if res["rc"] == 0:
                 break
     print("[queue] all jobs attempted", flush=True)
