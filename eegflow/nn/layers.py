@@ -72,7 +72,14 @@ def _rbg_key(key: jax.Array) -> jax.Array:
                                     impl="rbg")
 
 
-_RBG_DROPOUT = os.environ.get("EEGFLOW_RBG_DROPOUT", "0") == "1"
+def refresh_flags() -> None:
+    """Re-read EEGFLOW_RBG_DROPOUT (see _rbg_key) — same in-process A/B
+    contract as eegflow.nn.pallas_lstm.refresh_flags."""
+    globals()["_RBG_DROPOUT"] = (
+        os.environ.get("EEGFLOW_RBG_DROPOUT", "0") == "1")
+
+
+refresh_flags()
 
 
 def dropout(

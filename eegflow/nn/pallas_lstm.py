@@ -44,10 +44,47 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def refresh_flags() -> None:
+    """(Re-)read every EEGFLOW_* kernel experiment flag (docs/DESIGN.md §5)
+    from the environment into this module's globals.
+
+    Called once at import. In-process A/B sweeps (tools/profile_multi.py)
+    call it again between configs so ONE process can measure many flag sets
+    without paying per-process device init through the axon tunnel. Callers
+    flipping flags in-process MUST also call ``jax.clear_caches()``: the
+    fused entry points are module-level ``jax.jit``s whose cached traces
+    baked the previous flag values in (each flag set is a different traced
+    program, invisible to the jit cache key). The per-flag rationale lives
+    in comments at each flag's section of this file.
+    """
+    env = _os.environ.get
+    g = globals()
+    g["_BWD_TC"] = int(env("EEGFLOW_BWD_TC", "0"))
+    g["_RES_BF16"] = int(env("EEGFLOW_RES_BF16", "0"))
+    # measured default (r4 A/B on v5e: 40.15 vs 40.58 ms/step at B=512);
+    # EEGFLOW_ADJOINT_RES=0 restores the raw-gate-residual schedule
+    g["_ADJ_RES"] = int(env("EEGFLOW_ADJOINT_RES", "1"))
+    g["_FWD_DUAL"] = int(env("EEGFLOW_FWD_DUAL", "0"))
+    g["_FWD_CHAINS"] = (int(env("EEGFLOW_FWD_CHAINS", "0"))
+                        or (2 if g["_FWD_DUAL"] else 1))
+    g["_BWD_CHAINS_ENV"] = int(env("EEGFLOW_BWD_CHAINS", "0"))
+    g["_BWD_V2"] = int(env("EEGFLOW_BWD_V2", "0"))
+    g["_BWD_PROBE_DUP"] = int(env("EEGFLOW_BWD_PROBE_DUP", "0"))
+    g["_BWD_DUAL"] = int(env("EEGFLOW_BWD_DUAL", "0"))
+    g["_BWD_CHAINS"] = g["_BWD_CHAINS_ENV"] or (2 if g["_BWD_DUAL"] else 1)
+    g["_BWD_DUALDIR"] = int(env("EEGFLOW_BWD_DUALDIR", "0"))
+    g["_DUALDIR_BT"] = int(env("EEGFLOW_DUALDIR_BT", "0"))
+    g["_FUSED_BATCH_TILE"] = int(env("EEGFLOW_FUSED_BT", "128"))
+    g["_FUSED_T_CHUNK"] = int(env("EEGFLOW_FUSED_TC", "8"))
+
+
+refresh_flags()
+
 # A/B flag: stream tanh(c) from the forward kernel as an extra residual so
 # the backward kernel's serial adjoint chain drops its per-step tanh
 # (the backward kernels are VPU-bound — see docs/ROUND3_RESULTS.md).
-_BWD_TC = int(_os.environ.get("EEGFLOW_BWD_TC", "0"))
+# _BWD_TC — read in refresh_flags() above.
 
 # A/B flag: store the (B, T, 4H) post-activation gate residual in bf16
 # instead of f32. The gates live in [-1, 1], so bf16 costs ~0.4% relative
@@ -55,7 +92,7 @@ _BWD_TC = int(_os.environ.get("EEGFLOW_BWD_TC", "0"))
 # residual stream (537 MB -> 268 MB per layer-direction at B=512/T=256):
 # the forward kernel is DMA-bound on residual writes and the backward
 # re-reads the same bytes.
-_RES_BF16 = int(_os.environ.get("EEGFLOW_RES_BF16", "0"))
+# _RES_BF16 — read in refresh_flags() above.
 
 # A/B flag: precompute the adjoint's gate products in the FORWARD kernel
 # (which is DMA-bound, i.e. has VPU slack) and store six bounded residual
@@ -69,15 +106,16 @@ _RES_BF16 = int(_os.environ.get("EEGFLOW_RES_BF16", "0"))
 # the c stream NOR c boundaries — B absorbs c_prev — so total backward DMA
 # is unchanged (6H residual + h vs 4H + c + h) and the forward drops the
 # (B, T, H) c_seq output entirely. Exact reassociation of the same math
-# (f32-path kernel tests pass at 1e-5 vs scan autodiff).
-_ADJ_RES = int(_os.environ.get("EEGFLOW_ADJOINT_RES", "0"))
+# (f32-path kernel tests pass at 1e-5 vs scan autodiff). DEFAULT since
+# round 5 (measured 40.15 vs 40.58 ms/step, /tmp→docs/traces/r4_k_adjres).
+# _ADJ_RES — read in refresh_flags() above.
 
 # A/B flag: split the FORWARD batch tile into two independent recurrence
 # chains (row halves) — same ILP rationale as EEGFLOW_BWD_DUAL: the
 # per-step chain is carry-matmul -> 4 transcendentals -> state update, and
 # two interleavable chains let the scheduler overlap one half's matmul
 # with the other half's VPU work.
-_FWD_DUAL = int(_os.environ.get("EEGFLOW_FWD_DUAL", "0"))
+# _FWD_DUAL — read in refresh_flags() above.
 
 # A/B flag: generalize the dual-chain split to N independent chains per
 # batch tile (the round-4 follow-on scoped in docs/ROADMAP.md: if 2 chains
@@ -85,9 +123,7 @@ _FWD_DUAL = int(_os.environ.get("EEGFLOW_FWD_DUAL", "0"))
 # until the VPU saturates). EEGFLOW_{FWD,BWD}_CHAINS=N (2 or 4) overrides;
 # the DUAL flags remain aliases for 2. Each chain slice must stay
 # (8, 128)-tile aligned, so batch_tile % (8 * chains) == 0 gates the split.
-_FWD_CHAINS = (int(_os.environ.get("EEGFLOW_FWD_CHAINS", "0"))
-               or (2 if _FWD_DUAL else 1))
-_BWD_CHAINS_ENV = int(_os.environ.get("EEGFLOW_BWD_CHAINS", "0"))
+# _FWD_CHAINS / _BWD_CHAINS_ENV — read in refresh_flags() above.
 
 
 def _sigmoid(x):
@@ -983,17 +1019,16 @@ def _bwd_fused_kernel_v2(*refs, t_chunk: int, hidden: int, reverse: bool,
 #: carry matmul, and v2's scratch round-trip + end-of-block GEMM barrier
 #: costs more than the larger-M MXU shapes save. Kept for A/B re-checks on
 #: future compiler versions.
-_BWD_V2 = int(_os.environ.get("EEGFLOW_BWD_V2", "0"))
+# _BWD_V2 — read in refresh_flags() at the top of this module.
 # perf probe: duplicate the v1 adjoint chain in-kernel (see adjoint_chain)
-_BWD_PROBE_DUP = int(_os.environ.get("EEGFLOW_BWD_PROBE_DUP", "0"))
+# _BWD_PROBE_DUP — read in refresh_flags() at the top of this module.
 
 # A/B flag: split the backward batch tile into two independent adjoint
 # chains (row halves). The per-step chain is dependency-latency-bound
 # (~25% MXU / ~16% VPU utilization at the measured 3.8 ms/kernel), so two
 # interleavable chains let the scheduler overlap one half's carry matmul
 # with the other half's VPU work. Composes with EEGFLOW_ADJOINT_RES.
-_BWD_DUAL = int(_os.environ.get("EEGFLOW_BWD_DUAL", "0"))
-_BWD_CHAINS = _BWD_CHAINS_ENV or (2 if _BWD_DUAL else 1)
+# _BWD_DUAL / _BWD_CHAINS — read in refresh_flags() at the top of this module.
 
 
 @functools.partial(
@@ -1167,10 +1202,10 @@ def lstm_bwd_fused(
 # and with EEGFLOW_BWD_CHAINS (chains split WITHIN each direction).
 # ---------------------------------------------------------------------------
 
-_BWD_DUALDIR = int(_os.environ.get("EEGFLOW_BWD_DUALDIR", "0"))
+# _BWD_DUALDIR — read in refresh_flags() at the top of this module.
 # dual-direction doubles the streamed blocks per grid step; default to a
 # halved batch tile (A/B override)
-_DUALDIR_BT = int(_os.environ.get("EEGFLOW_DUALDIR_BT", "0"))
+# _DUALDIR_BT — read in refresh_flags() at the top of this module.
 
 
 def _bwd_dualdir_kernel(*refs, t_chunk: int, hidden: int, n_parts: int,
@@ -1620,9 +1655,9 @@ def lstm_recurrence_backward(
 # ---------------------------------------------------------------------------
 
 
-#: env-overridable for tile experiments (tools/profile_train.py A/Bs)
-_FUSED_BATCH_TILE = int(_os.environ.get("EEGFLOW_FUSED_BT", "128"))
-_FUSED_T_CHUNK = int(_os.environ.get("EEGFLOW_FUSED_TC", "8"))  # native f32 tile is (8, 128) sublanes x lanes
+#: env-overridable for tile experiments (tools/profile_train.py A/Bs);
+#: _FUSED_BATCH_TILE / _FUSED_T_CHUNK — read in refresh_flags() at the top
+#: of this module (native f32 tile is (8, 128) sublanes x lanes)
 
 
 def _apply_masks_xla(xs, masks, keep):

@@ -1,15 +1,18 @@
 """Subprocess worker: validate kernel experiment-flag modes vs the scan oracle.
 
-The EEGFLOW_* kernel flags (docs/DESIGN.md §5) are read at module import, and
-the fused kernels are wrapped in module-level ``jax.jit``s — so a flag flip
-requires a fresh module (reload) to avoid silently reusing traces cached under
-the old flag. This worker reloads ``eegflow.nn.pallas_lstm`` once per flag set
-and checks the bidirectional fused layer's gradients (params + input parts)
-against the ``lax.scan`` reference on CPU interpret mode.
+The EEGFLOW_* kernel flags (docs/DESIGN.md §5) are module globals initialized
+from the environment, and the fused kernels are wrapped in module-level
+``jax.jit``s — so a flag flip in-process needs ``refresh_flags()`` PLUS
+``jax.clear_caches()`` (a stale jit cache would silently reuse traces from
+the previous flag set). This worker flips flags exactly the way
+tools/profile_multi.py does on the TPU — same refresh + cache-clear sequence
+— and checks the bidirectional fused layer's gradients (params + input
+parts) against the ``lax.scan`` reference on CPU interpret mode, so any
+stale-cache bug in the in-process A/B mechanism fails HERE as a gradient
+mismatch before it can corrupt a device measurement.
 
 Run by tests/test_kernel_flags.py in ONE subprocess (jax imported once).
 """
-import importlib
 import os
 import sys
 
@@ -30,9 +33,16 @@ jax.config.update("jax_platforms", "cpu")
 
 from eegflow.nn.lstm import lstm_layer_apply, lstm_layer_init  # noqa: E402
 
+# NOTE: EEGFLOW_ADJOINT_RES defaults to 1 since round 5 (measured winner).
+# Sets validating the raw-gate-residual schedule set it to 0 EXPLICITLY;
+# an empty set validates the shipped defaults.
 FLAG_SETS = [
-    # the fused dual-DIRECTION backward (round 4)
-    {"EEGFLOW_BWD_DUALDIR": "1"},
+    # the shipped defaults (adjoint residuals since round 5)
+    {},
+    # the pre-round-5 default: raw gate residuals
+    {"EEGFLOW_ADJOINT_RES": "0"},
+    # the fused dual-DIRECTION backward (round 4), raw-gate composition
+    {"EEGFLOW_BWD_DUALDIR": "1", "EEGFLOW_ADJOINT_RES": "0"},
     # ... composed with adjoint residuals, bf16 residuals, 2-chain ILP
     {"EEGFLOW_BWD_DUALDIR": "1", "EEGFLOW_ADJOINT_RES": "1",
      "EEGFLOW_RES_BF16": "1", "EEGFLOW_BWD_CHAINS": "2"},
@@ -42,20 +52,20 @@ FLAG_SETS = [
     # the round-3 modes together (two-launch path)
     {"EEGFLOW_ADJOINT_RES": "1", "EEGFLOW_RES_BF16": "1",
      "EEGFLOW_FWD_DUAL": "1", "EEGFLOW_BWD_DUAL": "1"},
-    # 4-way chain ILP (engages only when batch_tile % 32 == 0)
-    {"EEGFLOW_FWD_CHAINS": "4", "EEGFLOW_BWD_CHAINS": "4"},
-    # every A/B-queued mode alone (tools/jobs_r4.json) — singles are their
-    # own codegen paths, not subsets of the combos above
-    {"EEGFLOW_ADJOINT_RES": "1"},
-    {"EEGFLOW_RES_BF16": "1"},
+    # 4-way chain ILP (engages only when batch_tile % 32 == 0), raw gates
+    {"EEGFLOW_FWD_CHAINS": "4", "EEGFLOW_BWD_CHAINS": "4",
+     "EEGFLOW_ADJOINT_RES": "0"},
+    # every A/B-queued mode alone — singles are their own codegen paths,
+    # not subsets of the combos above (raw-gate composition pinned)
+    {"EEGFLOW_RES_BF16": "1", "EEGFLOW_ADJOINT_RES": "0"},
     {"EEGFLOW_ADJOINT_RES": "1", "EEGFLOW_RES_BF16": "1"},
-    {"EEGFLOW_FWD_DUAL": "1"},
-    {"EEGFLOW_BWD_DUAL": "1"},
+    {"EEGFLOW_FWD_DUAL": "1", "EEGFLOW_ADJOINT_RES": "0"},
+    {"EEGFLOW_BWD_DUAL": "1", "EEGFLOW_ADJOINT_RES": "0"},
     {"EEGFLOW_ADJOINT_RES": "1", "EEGFLOW_BWD_DUAL": "1"},
     # asymmetric chain splits: fwd default with 4-chain bwd and vice versa
     # (residual layout must be chain-count independent)
-    {"EEGFLOW_BWD_CHAINS": "4"},
-    {"EEGFLOW_FWD_CHAINS": "4"},
+    {"EEGFLOW_BWD_CHAINS": "4", "EEGFLOW_ADJOINT_RES": "0"},
+    {"EEGFLOW_FWD_CHAINS": "4", "EEGFLOW_ADJOINT_RES": "0"},
 ]
 
 ALL_FLAGS = sorted({k for fs in FLAG_SETS for k in fs})
@@ -90,15 +100,16 @@ def assert_close(tag, got, want):
         assert err < 2e-2, (tag, "dx", i, float(err))
 
 
+import eegflow.nn.pallas_lstm as pk  # noqa: E402
+
 for flag_set in FLAG_SETS:
     for k in ALL_FLAGS:
         os.environ.pop(k, None)
     os.environ.update(flag_set)
-    import eegflow.nn.pallas_lstm as pk
-
-    pk = importlib.reload(pk)
-    tag = "+".join(f"{k.removeprefix('EEGFLOW_')}={v}"
-                   for k, v in sorted(flag_set.items()))
+    pk.refresh_flags()
+    jax.clear_caches()
+    tag = ("+".join(f"{k.removeprefix('EEGFLOW_')}={v}"
+                    for k, v in sorted(flag_set.items())) or "defaults")
 
     def loss_fused(pf_, pb_, parts_, _pk=pk):
         hf, hr = _pk.bilstm_layer_fused_parts(pf_, pb_, parts_, bf16=True)

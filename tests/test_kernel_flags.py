@@ -6,9 +6,10 @@ N-chain ILP splits, and the fused dual-direction backward. Each must produce
 the same gradients as the ``lax.scan`` reference (they are schedules, not
 approximations — bf16 modes within AMP tolerance).
 
-Flags are read at module import and baked into module-level jit caches, so
-they cannot be flipped in-process: one subprocess runs all flag sets,
-reloading ``eegflow.nn.pallas_lstm`` per set (tests/flagcheck_worker.py).
+One subprocess runs all flag sets via the in-process flip mechanism
+(``refresh_flags()`` + ``jax.clear_caches()`` — tests/flagcheck_worker.py),
+the same sequence tools/profile_multi.py uses to A/B many kernel configs in
+one TPU process without per-process device-init cost.
 Replaces the cuDNN-fused monolith these schedules race
 (/root/reference/04_lstm_model.py:181-188) with oracle-checked variants.
 """
