@@ -512,9 +512,32 @@ def main():
                     f"({scaling[str(bsz)]:.0f} windows/s/chip)\n")
             sys.stderr.flush()
         except Exception as e:
-            sys.stderr.write(f"# scaling B={bsz} failed: {e}\n")
+            # record the failure REASON in the official extras (VERDICT r4
+            # weak #3: the B=2048 OOM dumped ~100 allocator lines into the
+            # record's tail and extras.scaling silently lost the point)
+            reason = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
+            _EXTRAS.setdefault("scaling_failed", {})[str(bsz)] = reason
+            sys.stderr.write(f"# scaling B={bsz} failed: {reason}\n")
     if len(scaling) > 1:
         _EXTRAS["scaling"] = scaling
+
+    # SHAP-stage wall time (VERDICT r4 #8): the explain stage takes minutes
+    # end-to-end — far beyond this benchmark's watchdog — so it is measured
+    # by a dedicated queue job (tools/shap_stage.py) that writes a committed
+    # sidecar; fold it in with provenance so the official record carries the
+    # audited number against the reference's ~54 min (ref 07:1280,1339).
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "shap_stage.json")
+        with open(sidecar) as f:
+            shap_rec = json.load(f)
+        if shap_rec.get("explain_stage_s", 0) > 0:
+            _EXTRAS["shap_stage_s"] = shap_rec["explain_stage_s"]
+            _EXTRAS["shap_stage_provenance"] = {
+                k: shap_rec.get(k) for k in ("date", "commit", "n_test",
+                                             "n_explain", "backend")}
+    except Exception:
+        pass  # sidecar absent: stage not yet measured
 
     timer.cancel()
     # persist an audited device-trace headline for future outage rounds

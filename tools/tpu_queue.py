@@ -25,6 +25,13 @@ from pathlib import Path
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))  # ab_table import
+
+
+#: how long one successful job vouches for the tunnel (ADVICE r4: a success
+#: must not skip probes forever — outages last hours, and launching a 3 h job
+#: on a tunnel that died since the last success burns its whole timeout)
+PROOF_TTL_S = 600.0
 
 
 def probe(timeout_s: float = 120.0) -> bool:
@@ -33,6 +40,16 @@ def probe(timeout_s: float = 120.0) -> bool:
     ok, diag = _probe_device_liveness(timeout_s)
     print(f"[queue] probe: {diag}", flush=True)
     return ok
+
+
+def parse_result_line(text: str):
+    """Last profile result line in a job log, parsed (ab_table.py format)."""
+    from ab_table import LINE
+
+    best = None
+    for m in LINE.finditer(text):
+        best = m.groupdict()
+    return best
 
 
 def run_job(job: dict, out_dir: Path) -> dict:
@@ -55,8 +72,18 @@ def run_job(job: dict, out_dir: Path) -> dict:
         tail = log_path.read_text()[-2000:]
     except Exception:
         pass
-    return {"name": name, "rc": rc, "wall_s": round(wall, 1),
-            "log": str(log_path), "tail_lines": tail.splitlines()[-12:]}
+    res = {"name": name, "rc": rc, "wall_s": round(wall, 1),
+           "log": str(log_path), "tail_lines": tail.splitlines()[-12:]}
+    # carry the parsed measurement so summary.json is self-contained
+    # (VERDICT r4 weak #6: committed records lagged what was measured)
+    try:
+        parsed = parse_result_line(log_path.read_text())
+    except Exception:
+        parsed = None
+    if parsed:
+        res["parsed"] = {"impl": parsed["impl"], "ms_step": float(parsed["ms"]),
+                         "windows_s": parsed["wps"], "mfu_pct": float(parsed["mfu"])}
+    return res
 
 
 def main() -> int:
@@ -74,9 +101,12 @@ def main() -> int:
                if summary_path.exists() else {})
 
     t_end = time.time() + args.deadline_s
-    # a succeeded job IS a liveness proof: only re-probe (40s+ through the
-    # tunnel) before the first job and after a failure/timeout
-    tunnel_proven = False
+    # a succeeded job IS a liveness proof — but only for PROOF_TTL_S (the
+    # tunnel dies on multi-hour outages; ADVICE r4) — and only an rc=-9
+    # TIMEOUT disproves it (a fast deterministic job failure says nothing
+    # about the tunnel, so it must not force 40 s probes before every
+    # subsequent job)
+    proven_at = 0.0
     for job in jobs:
         name = job["name"]
         if summary.get(name, {}).get("rc") == 0:
@@ -91,8 +121,14 @@ def main() -> int:
                 print(f"[queue] skipping {name}: timeout_s would cross "
                       "the deadline", flush=True)
                 break
-            # wait for a live tunnel (poll; outages last hours)
-            while not tunnel_proven and not probe():
+            # wait for a live tunnel (poll; outages last hours); proof of
+            # life must be at most PROOF_TTL_S old — fresh proof skips the
+            # 40 s probe, stale proof is re-established, never extended
+            # without evidence
+            while time.time() - proven_at > PROOF_TTL_S:
+                if probe():
+                    proven_at = time.time()
+                    break
                 if time.time() > t_end:
                     print("[queue] deadline reached while polling", flush=True)
                     return 1
@@ -106,9 +142,11 @@ def main() -> int:
             summary_path.write_text(json.dumps(summary, indent=1))
             print(f"[queue] {name}: rc={res['rc']} in {res['wall_s']}s",
                   flush=True)
-            tunnel_proven = res["rc"] == 0
             if res["rc"] == 0:
+                proven_at = time.time()
                 break
+            if res["rc"] == -9:  # timeout — the dead-tunnel signature
+                proven_at = 0.0
     print("[queue] all jobs attempted", flush=True)
     return 0
 
