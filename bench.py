@@ -539,6 +539,22 @@ def main():
     except Exception:
         pass  # sidecar absent: stage not yet measured
 
+    # DP throughput model (VERDICT r4 #7): measured CPU-mesh software
+    # overhead + analytic ICI all-reduce bound -> predicted 8-chip
+    # windows/s at global batch 4096 (tools/dp_overhead.py writes the
+    # committed sidecar with methodology + provenance).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "dp_model.json")) as f:
+            dp = json.load(f)
+        _EXTRAS["dp_model"] = {
+            k: dp.get(k) for k in (
+                "ovh_implicit_pct", "ovh_explicit_pct",
+                "ovh_ici_pct_bound", "predicted_8chip_windows_s_global4096",
+                "predicted_scaling_efficiency_pct", "commit")}
+    except Exception:
+        pass  # sidecar absent: model not yet computed
+
     timer.cancel()
     # persist an audited device-trace headline for future outage rounds
     if timings[best_impl] in ("device_trace", "device_trace_partial") and on_tpu:

@@ -1,12 +1,14 @@
-"""Summarize a tpu_queue run into the kernel A/B markdown table.
+"""Summarize kernel A/B measurements into the round-results markdown table.
 
-Usage: python tools/ab_table.py [--out /tmp/tpuq_r4] [--jobs tools/jobs_r4.json]
+Two sources, merged (later wins per name):
+  * per-job tpu_queue logs parsed for profile_train's result line
+    (``[pallas] device X ms/step | Y windows/s | MFU Z%``), joined with the
+    job's env flags from the jobs file;
+  * the one-process sweep's results JSON (tools/profile_multi.py --out),
+    which already carries parsed ms/MFU/flags per config.
 
-Parses each job log for profile_train's result line
-(``[pallas] device X ms/step | Y windows/s | MFU Z%``), joins it with the
-job's env flags from the jobs file and rc from summary.json, and prints a
-markdown table sorted fastest-first — the round-results A/B table in one
-command once the queue drains.
+Usage: python tools/ab_table.py [--out docs/ab_r5] [--jobs tools/jobs_r5.json]
+           [--multi docs/ab_r5/ab_multi.json]
 """
 from __future__ import annotations
 
@@ -33,37 +35,53 @@ def parse_log(path: Path):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/tpuq_r4")
-    ap.add_argument("--jobs", default="tools/jobs_r4.json")
+    ap.add_argument("--out", default="docs/ab_r5")
+    ap.add_argument("--jobs", default="tools/jobs_r5.json")
+    ap.add_argument("--multi", default="docs/ab_r5/ab_multi.json")
     args = ap.parse_args()
     out = Path(args.out)
-    jobs = {j["name"]: j for j in json.loads(Path(args.jobs).read_text())}
-    summary_path = out / "summary.json"
-    summary = (json.loads(summary_path.read_text())
-               if summary_path.exists() else {})
 
-    rows = []
-    for name, job in jobs.items():
-        if not name.startswith("k_"):
-            continue
-        res = parse_log(out / f"{name}.log")
-        rc = summary.get(name, {}).get("rc")
-        flags = " ".join(f"{k.replace('EEGFLOW_', '')}={v}"
-                         for k, v in job.get("env", {}).items()
-                         if k.startswith("EEGFLOW_")) or "(baseline)"
-        if res:
-            rows.append((float(res["ms"]), name, flags,
-                         res["wps"], res["mfu"], rc))
-        else:
-            rows.append((float("inf"), name, flags, "-", "-", rc))
+    rows = {}  # name -> (ms, flags, wps, mfu, status)
 
-    rows.sort()
-    print("| job | flags | device ms/step | windows/s | MFU | rc |")
+    jobs_path = Path(args.jobs)
+    if jobs_path.exists():
+        jobs = {j["name"]: j for j in json.loads(jobs_path.read_text())}
+        summary_path = out / "summary.json"
+        summary = (json.loads(summary_path.read_text())
+                   if summary_path.exists() else {})
+        for name, job in jobs.items():
+            if not name.startswith("k_"):
+                continue
+            res = parse_log(out / f"{name}.log")
+            rc = summary.get(name, {}).get("rc")
+            flags = " ".join(f"{k.replace('EEGFLOW_', '')}={v}"
+                             for k, v in job.get("env", {}).items()
+                             if k.startswith("EEGFLOW_")) or "(defaults)"
+            if res:
+                rows[name] = (float(res["ms"]), flags, res["wps"],
+                              f"{res['mfu']}%", f"rc={rc}")
+            else:
+                rows[name] = (float("inf"), flags, "-", "—", f"rc={rc}")
+
+    multi_path = Path(args.multi)
+    if multi_path.exists():
+        for name, rec in json.loads(multi_path.read_text()).items():
+            if "ms_step" in rec:
+                mfu = rec.get("mfu")
+                rows[name] = (
+                    rec["ms_step"], rec.get("flags", ""),
+                    f"{rec['windows_s']:,.0f}",
+                    f"{mfu * 100:.1f}%" if mfu else "—", "ok")
+            else:
+                rows[name] = (float("inf"), rec.get("flags", ""), "-", "—",
+                              (rec.get("error") or "?")[:40])
+
+    print("| config | flags | device ms/step | windows/s | MFU | status |")
     print("|---|---|---|---|---|---|")
-    for ms, name, flags, wps, mfu, rc in rows:
+    for name, (ms, flags, wps, mfu, status) in sorted(
+            rows.items(), key=lambda kv: kv[1][0]):
         ms_s = f"{ms:.2f}" if ms != float("inf") else "—"
-        mfu_s = f"{mfu}%" if mfu != "-" else "—"
-        print(f"| {name} | {flags} | {ms_s} | {wps} | {mfu_s} | {rc} |")
+        print(f"| {name} | {flags} | {ms_s} | {wps} | {mfu} | {status} |")
     return 0
 
 

@@ -38,7 +38,16 @@ def main() -> int:
                     help="shared with tools/diagnose_synthetic_gap.py so the "
                          "24-subject artifacts are prepared once")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override for CPU smoke runs")
     args = ap.parse_args()
+
+    if args.quick and args.out.endswith("model_compare.json"):
+        args.out = "/tmp/model_compare_quick.json"
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from diagnose_synthetic_gap import auc_mcc, prepare_data
 

@@ -45,11 +45,24 @@ def main() -> int:
                     help="training epochs (explain cost is independent of "
                          "model quality; a real trained model keeps the "
                          "activations representative)")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override for CPU smoke runs")
+    ap.add_argument("--smoke", action="store_true",
+                    help="4 subjects + tiny explain counts: validates the "
+                         "job end-to-end on CPU before it spends tunnel time")
     args = ap.parse_args()
+
+    default_out = os.path.join(REPO, "docs", "shap_stage.json")
+    if args.smoke and args.out == default_out:
+        # a smoke run must never overwrite the committed official sidecar
+        args.out = "/tmp/shap_stage_smoke.json"
 
     from diagnose_synthetic_gap import prepare_data
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from eegflow.core.config import ModelConfig, TrainConfig
     from eegflow.explain import (build_summary, compare_importance_methods,
@@ -61,7 +74,8 @@ def main() -> int:
     work = Path(args.work)
     work.mkdir(parents=True, exist_ok=True)
     # round-2 measurement conditions: 8 subjects, 60 s recordings
-    arrays, meta = prepare_data(work, n_subjects=8, duration_s=60.0)
+    n_subjects = 4 if args.smoke else 8
+    arrays, meta = prepare_data(work, n_subjects=n_subjects, duration_s=60.0)
     xtr, ytr = arrays["X_train"], arrays["y_train"]
     xva, yva = arrays["X_val"], arrays["y_val"]
     xte, yte = arrays["X_test"], arrays["y_test"]
@@ -74,16 +88,21 @@ def main() -> int:
     res = train_classifier(xtr, ytr, xva, yva, model_cfg, cfg, verbose=False)
     params = res.params
 
+    shap_kw = (dict(n_explain=4, n_background=4, nsamples=8) if args.smoke
+               else {})
+    perm_kw = dict(n_permutations=1, n_samples=32) if args.smoke else {}
     print(f"explain stage on {len(xte)} test windows...", flush=True)
     t0 = time.perf_counter()
     grad = gradient_channel_importance(params, model_cfg, xte,
                                        channel_names=channel_names)
     t1 = time.perf_counter()
     perm = permutation_channel_importance(params, model_cfg, xte, yte,
-                                          channel_names=channel_names)
+                                          channel_names=channel_names,
+                                          **perm_kw)
     t2 = time.perf_counter()
     shap_res = kernel_shap_channel_importance(params, model_cfg, xte,
-                                              channel_names=channel_names)
+                                              channel_names=channel_names,
+                                              **shap_kw)
     t3 = time.perf_counter()
     shap_light = {k: v for k, v in shap_res.items()
                   if k not in ("shap_values", "x_explain")}
@@ -106,9 +125,9 @@ def main() -> int:
         "kernelshap_s": round(t3 - t2, 1),
         "comparison_summary_s": round(t4 - t3, 1),
         "n_test": int(len(xte)),
-        "n_explain": 200,
-        "n_background": 100,
-        "n_coalitions": 100,
+        "n_explain": shap_kw.get("n_explain", 200),
+        "n_background": shap_kw.get("n_background", 100),
+        "n_coalitions": shap_kw.get("nsamples", 100),
         "backend": jax.default_backend(),
         "date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "commit": commit,
