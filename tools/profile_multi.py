@@ -64,12 +64,18 @@ def measure_config(cfg_entry, x, y, steps):
     from eegflow.train.steps import TrainState, make_optimizer, make_train_step
 
     impl = cfg_entry.get("impl", "pallas")
-    batch = x.shape[0]
+    batch = int(cfg_entry.get("batch", x.shape[0]))
+    if batch != x.shape[0]:
+        # per-config batch override (scaling-curve points): tile/slice the
+        # shared input so the sweep still uploads data once
+        reps = -(-batch // x.shape[0])
+        x = jnp.tile(x, (reps, 1, 1))[:batch]
+        y = jnp.tile(y, reps)[:batch]
     model_cfg = (TransformerConfig(input_size=x.shape[2])
                  if impl == "transformer" else ModelConfig(input_size=x.shape[2]))
     train_cfg = TrainConfig(
-        batch_size=batch, accumulation_steps=4, bf16=True,
-        lstm_impl="scan" if impl == "transformer" else impl)
+        batch_size=batch, accumulation_steps=int(cfg_entry.get("accum", 4)),
+        bf16=True, lstm_impl="scan" if impl == "transformer" else impl)
     train_cfg = dataclasses.replace(train_cfg)
     flops_step = 3 * model_flops_per_window(model_cfg) * batch
 
@@ -106,7 +112,7 @@ def measure_config(cfg_entry, x, y, steps):
         "compile_s": round(compile_s, 1),
         "iters": n,
         "top_ops": [[op[:64], round(t / n * 1e3, 3)]
-                    for op, t in dt.top_ops(10)],
+                    for op, t in dt.top_ops(int(cfg_entry.get("top_n", 10)))],
     }
     # same line format as tools/profile_train.py so ab_table.py parses it
     print(f"[{impl}] device {rec['ms_step']:.2f} ms/step | "
