@@ -65,13 +65,16 @@ def refresh_flags() -> None:
     # measured default (r4 A/B on v5e: 40.15 vs 40.58 ms/step at B=512);
     # EEGFLOW_ADJOINT_RES=0 restores the raw-gate-residual schedule
     g["_ADJ_RES"] = int(env("EEGFLOW_ADJOINT_RES", "1"))
-    g["_FWD_DUAL"] = int(env("EEGFLOW_FWD_DUAL", "0"))
+    # measured defaults (r5 ab_multi sweep on v5e, docs/ab_r5/ab_multi.json):
+    # dual_both 39.77 ms/step (MFU 43.6%) vs 40.15 single-chain; 2-way is
+    # the measured optimum (4-way chains regressed to 40.39)
+    g["_FWD_DUAL"] = int(env("EEGFLOW_FWD_DUAL", "1"))
     g["_FWD_CHAINS"] = (int(env("EEGFLOW_FWD_CHAINS", "0"))
                         or (2 if g["_FWD_DUAL"] else 1))
     g["_BWD_CHAINS_ENV"] = int(env("EEGFLOW_BWD_CHAINS", "0"))
     g["_BWD_V2"] = int(env("EEGFLOW_BWD_V2", "0"))
     g["_BWD_PROBE_DUP"] = int(env("EEGFLOW_BWD_PROBE_DUP", "0"))
-    g["_BWD_DUAL"] = int(env("EEGFLOW_BWD_DUAL", "0"))
+    g["_BWD_DUAL"] = int(env("EEGFLOW_BWD_DUAL", "1"))
     g["_BWD_CHAINS"] = g["_BWD_CHAINS_ENV"] or (2 if g["_BWD_DUAL"] else 1)
     g["_BWD_DUALDIR"] = int(env("EEGFLOW_BWD_DUALDIR", "0"))
     g["_DUALDIR_BT"] = int(env("EEGFLOW_DUALDIR_BT", "0"))
