@@ -90,10 +90,14 @@ def main() -> int:
 
     results = {}
 
-    # arm 1: single device, full global batch
+    # arm 1: single device, full global batch. Deep-copy the params into the
+    # donated state: device_put to the array's current device is a no-op, so
+    # donating the state would otherwise delete the shared `params` leaves
+    # arm 2 still needs.
     dev0 = jax.devices()[0]
-    state = [TrainState(jax.device_put(params, dev0),
-                        tx.init(jax.device_put(params, dev0)), jnp.asarray(0))]
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    state = [TrainState(jax.device_put(copy(params), dev0),
+                        tx.init(params), jnp.asarray(0))]
     step = make_train_step(model_cfg, train_cfg, tx, donate=True)
     x1, y1 = jax.device_put(x, dev0), jax.device_put(y, dev0)
     i = [0]
@@ -112,7 +116,7 @@ def main() -> int:
     # arm 2: 8-device mesh, SAME global batch (8 shards of bsz/8)
     mesh = make_data_mesh(8)
     for label, make in (("implicit", None), ("explicit", make_spmd_train_step)):
-        p_r = replicate_to_mesh(params, mesh)
+        p_r = replicate_to_mesh(copy(params), mesh)
         st = [TrainState(p_r, replicate_to_mesh(tx.init(params), mesh),
                          jnp.asarray(0))]
         xs, ys = shard_batch((x, y), mesh)
