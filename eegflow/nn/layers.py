@@ -73,13 +73,41 @@ def _rbg_key(key: jax.Array) -> jax.Array:
 
 
 def refresh_flags() -> None:
-    """Re-read EEGFLOW_RBG_DROPOUT (see _rbg_key) — same in-process A/B
-    contract as eegflow.nn.pallas_lstm.refresh_flags."""
+    """Re-read EEGFLOW_RBG_DROPOUT / EEGFLOW_DROP8 (see _rbg_key / dropout)
+    — same in-process A/B contract as eegflow.nn.pallas_lstm.refresh_flags."""
+    # DEFAULT since round-5 (measured: dual_rbg 39.50 vs 39.77 ms/step,
+    # docs/ab_r5/ab_multi2.json). Masks stay deterministic per seed on a
+    # given backend; set =0 for cross-platform-stable threefry streams.
     globals()["_RBG_DROPOUT"] = (
-        os.environ.get("EEGFLOW_RBG_DROPOUT", "0") == "1")
+        os.environ.get("EEGFLOW_RBG_DROPOUT", "1") == "1")
+    globals()["_DROP8"] = (
+        os.environ.get("EEGFLOW_DROP8", "0") == "1")
 
 
 refresh_flags()
+
+
+def dropout_mask(key: jax.Array, rate: float, shape) -> jnp.ndarray:
+    """Boolean KEEP-mask, drawn exactly as :func:`dropout` draws it under
+    whatever PRNG flags are active — the single source of truth for mask
+    patterns, shared with the kernels' uint8-mask path (EEGFLOW_MASK_DROPOUT)
+    so select-mode and in-kernel-mode reproduce identical streams."""
+    keep = 1.0 - rate
+    if _RBG_DROPOUT:
+        key = _rbg_key(key)
+    if _DROP8:
+        # A/B flag (EEGFLOW_DROP8=1): draw the Bernoulli from 8 random bits
+        # per element instead of bernoulli's 32 — the three dropout fusions
+        # of the B=512 train step are bit-generation-bound (threefry is pure
+        # VPU arithmetic; the r5 residue trace puts them at 4.3 ms/step), so
+        # 4x fewer generated bits attacks their dominant term. The keep
+        # probability quantizes to round(keep*256)/256 (<=0.2% relative for
+        # the 0.3-0.5 rates used here; the 1/keep rescale keeps the nominal
+        # value, so E[output] shifts by the same <=0.2% during training
+        # only). Mask streams stay deterministic per seed.
+        thresh = jnp.uint8(max(1, min(255, int(round(keep * 256.0)))))
+        return jax.random.bits(key, shape, jnp.uint8) < thresh
+    return jax.random.bernoulli(key, keep, shape)
 
 
 def dropout(
@@ -89,9 +117,7 @@ def dropout(
     if not train or rate <= 0.0 or key is None:
         return x
     keep = 1.0 - rate
-    if _RBG_DROPOUT:
-        key = _rbg_key(key)
-    mask = jax.random.bernoulli(key, keep, x.shape)
+    mask = dropout_mask(key, rate, x.shape)
     return jnp.where(mask, x / keep, 0.0)
 
 

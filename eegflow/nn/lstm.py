@@ -209,9 +209,13 @@ def bilstm_stack_apply(
             "EEGFLOW_MASK_DROPOUT", "0") == "1")
 
         def make_masks(parts_, rate, keys_):
-            # same per-part keys as the select path -> bit-identical patterns
+            # same per-part keys AND the same PRNG path as the select path
+            # (layers.dropout_mask: threefry / rbg default / DROP8) ->
+            # bit-identical patterns
+            from eegflow.nn.layers import dropout_mask
+
             return tuple(
-                jax.random.bernoulli(k, 1.0 - rate, p.shape).astype(jnp.uint8)
+                dropout_mask(k, rate, p.shape).astype(jnp.uint8)
                 for k, p in zip(keys_, parts_))
 
         def key_seed(key):

@@ -369,8 +369,13 @@ def test_stack_xla_dropout_grads_finite_and_masked():
     assert np.isfinite(float(val))
     for leaf in jax.tree.leaves(g_l):
         assert np.isfinite(np.asarray(leaf)).all()
-    # positions dropped by the input mask must have zero input-gradient
-    mask = np.asarray(jax.random.bernoulli(jax.random.key(10), 0.8, x.shape))
+    # positions dropped by the input mask must have zero input-gradient —
+    # derive the expected mask through dropout() itself so the oracle tracks
+    # whatever PRNG path is active (threefry / rbg default / DROP8)
+    from eegflow.nn.layers import dropout as _dropout
+
+    mask = np.asarray(_dropout(jnp.ones(x.shape), 0.2, jax.random.key(10),
+                               True)) != 0.0
     assert np.all(np.asarray(g_x)[~mask] == 0.0)
 
 

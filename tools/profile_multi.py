@@ -42,7 +42,7 @@ KNOWN_FLAGS = [
     "EEGFLOW_BWD_DUAL", "EEGFLOW_FWD_CHAINS", "EEGFLOW_BWD_CHAINS",
     "EEGFLOW_BWD_DUALDIR", "EEGFLOW_DUALDIR_BT", "EEGFLOW_FUSED_BT",
     "EEGFLOW_FUSED_TC", "EEGFLOW_MASK_DROPOUT", "EEGFLOW_KERNEL_DROPOUT",
-    "EEGFLOW_RBG_DROPOUT", "EEGFLOW_PRNG",
+    "EEGFLOW_RBG_DROPOUT", "EEGFLOW_PRNG", "EEGFLOW_DROP8",
 ]
 
 
