@@ -63,8 +63,13 @@ def main() -> int:
             else:
                 rows[name] = (float("inf"), flags, "-", "—", f"rc={rc}")
 
+    # merge EVERY wave's sweep output (ab_multi.json, ab_multi2.json, ...)
     multi_path = Path(args.multi)
-    if multi_path.exists():
+    wave_paths = sorted(multi_path.parent.glob(
+        multi_path.stem.rstrip("0123456789") + "*.json"))
+    for multi_path in wave_paths or [multi_path]:
+        if not multi_path.exists():
+            continue
         for name, rec in json.loads(multi_path.read_text()).items():
             if "ms_step" in rec:
                 mfu = rec.get("mfu")
