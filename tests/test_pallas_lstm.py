@@ -406,11 +406,16 @@ def test_stack_input_dropout_grads_match_scan_exactly():
                                atol=2e-3, rtol=2e-3)
 
 
-def test_stack_mask_dropout_mode_matches_default(monkeypatch):
+@pytest.mark.parametrize("extra_env", [{}, {"EEGFLOW_DROP8": "1"}],
+                         ids=["bernoulli", "drop8"])
+def test_stack_mask_dropout_mode_matches_default(monkeypatch, extra_env):
     """EEGFLOW_MASK_DROPOUT=1 (uint8 masks applied in-kernel, the dropped
     tensors never exist in HBM) must reproduce the default select path's
-    outputs AND gradients exactly: both draw the same bernoulli patterns
-    from the same per-part keys, only where the multiply happens differs."""
+    outputs AND gradients exactly: both draw the same mask patterns from
+    the same per-part keys via layers.dropout_mask (whatever PRNG flags are
+    active — threefry / rbg / DROP8), only where the multiply happens
+    differs."""
+    import eegflow.nn.layers as nn_layers
     from eegflow.nn.lstm import bilstm_stack_apply, bilstm_stack_init
 
     layers = bilstm_stack_init(jax.random.key(0), 12, 8, num_layers=2)
@@ -424,10 +429,20 @@ def test_stack_mask_dropout_mode_matches_default(monkeypatch):
             input_dropout=0.15, input_dropout_key=jax.random.key(10))
         return jnp.sum(out ** 2)
 
-    monkeypatch.delenv("EEGFLOW_MASK_DROPOUT", raising=False)
-    v0, (gl0, gx0) = jax.value_and_grad(loss, argnums=(0, 1))(layers, x)
-    monkeypatch.setenv("EEGFLOW_MASK_DROPOUT", "1")
-    v1, (gl1, gx1) = jax.value_and_grad(loss, argnums=(0, 1))(layers, x)
+    try:
+        for k, v in extra_env.items():
+            monkeypatch.setenv(k, v)
+        nn_layers.refresh_flags()
+        monkeypatch.delenv("EEGFLOW_MASK_DROPOUT", raising=False)
+        v0, (gl0, gx0) = jax.value_and_grad(loss, argnums=(0, 1))(layers, x)
+        monkeypatch.setenv("EEGFLOW_MASK_DROPOUT", "1")
+        v1, (gl1, gx1) = jax.value_and_grad(loss, argnums=(0, 1))(layers, x)
+    finally:
+        # monkeypatch restores the env at teardown, but the module globals
+        # are snapshots — re-sync them to the ORIGINAL env here
+        for k in extra_env:
+            monkeypatch.delenv(k, raising=False)
+        nn_layers.refresh_flags()
     np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(gl0), jax.tree.leaves(gl1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
