@@ -80,8 +80,11 @@ def refresh_flags() -> None:
     # given backend; set =0 for cross-platform-stable threefry streams.
     globals()["_RBG_DROPOUT"] = (
         os.environ.get("EEGFLOW_RBG_DROPOUT", "1") == "1")
+    # DEFAULT since round-5 (measured: 38.10 vs 39.50 ms/step — the three
+    # dropout fusions are bit-generation-bound; docs/ab_r5/ab_multi3.json).
+    # Set =0 to restore 32-bit-draw jax.random.bernoulli masks.
     globals()["_DROP8"] = (
-        os.environ.get("EEGFLOW_DROP8", "0") == "1")
+        os.environ.get("EEGFLOW_DROP8", "1") == "1")
 
 
 refresh_flags()
