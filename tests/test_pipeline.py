@@ -306,3 +306,37 @@ def test_reference_dataset_audit_complete_tree(tmp_path):
     audit = reference_dataset_audit(tmp_path, n_subjects=2)
     assert audit["ok"], audit["missing"][:5]
     assert audit["present"] == audit["expected"] == 2 * 3 * 2 * 3
+
+
+def test_apply_small_subject_reg_thresholds():
+    """Auto-reg tiers (cli.main.apply_small_subject_reg): <12 subjects adds
+    mixup + channel-dropout, <20 adds x2 fresh phase surrogates (measured
+    winner of the round-5 gap_variants sweep: test AUC 0.9954 vs 0.8093
+    baseline, docs/ab_r5/gap_variants.json), >=20 and reference scale
+    (ds004148, 42 training subjects) stay at parity semantics."""
+    from eegflow.cli.main import apply_small_subject_reg
+    from eegflow.core.config import TrainConfig
+
+    base = TrainConfig()
+    tiny = apply_small_subject_reg(base, 8)
+    assert tiny.aug_mixup and tiny.aug_channel_dropout == 0.1
+    assert tiny.aug_phase_surrogates == 2 and tiny.aug_fresh_surrogates
+
+    small = apply_small_subject_reg(base, 17)
+    assert not small.aug_mixup and small.aug_channel_dropout == 0.0
+    assert small.aug_phase_surrogates == 2 and small.aug_fresh_surrogates
+
+    ref_scale = apply_small_subject_reg(base, 42)
+    assert ref_scale == base
+
+    # unknown subject count: no change
+    assert apply_small_subject_reg(base, None) == base
+
+    # deliberate ablations opt out wholesale
+    import dataclasses
+    opted_out = dataclasses.replace(base, auto_small_subject_reg=False)
+    assert apply_small_subject_reg(opted_out, 8) == opted_out
+
+    # an explicit surrogate setting is never overridden
+    explicit = dataclasses.replace(base, aug_phase_surrogates=3)
+    assert apply_small_subject_reg(explicit, 17).aug_phase_surrogates == 3
