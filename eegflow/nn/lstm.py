@@ -207,6 +207,21 @@ def bilstm_stack_apply(
         # (the PRNG path's validation oracle), so gradients are exact.
         use_masks = (not use_prng and _os.environ.get(
             "EEGFLOW_MASK_DROPOUT", "0") == "1")
+        # A/B candidate (EEGFLOW_FWD_DROPW): the PRODUCING layer's forward
+        # kernel writes the inter-layer inverted-dropout copy itself, so the
+        # XLA dropout fusion (read h + bit-gen + select + write the dropped
+        # copy, ~2.9 ms/step at B=512 under DROP8) never exists; the
+        # backward contract stays mask_from_x recovery, exactly as the
+        # select default. Mode 1: mask from the forward kernel's hardware
+        # PRNG (direction-salted; compiled TPU only — generated ONCE, in the
+        # kernel with VPU slack, unlike KERNEL_DROPOUT's fwd+bwd double
+        # generation). Mode 2: XLA generates the uint8 masks (the cheap
+        # DROP8/rbg bit path) and the kernel applies them on write —
+        # bit-identical streams to the select default, and CPU-testable.
+        dropw_mode = int(_os.environ.get("EEGFLOW_FWD_DROPW", "0") or 0)
+        use_dropw = (use_bf16 and not use_prng and not use_masks
+                     and dropw_mode > 0
+                     and (dropw_mode == 2 or not _auto_interpret(None)))
 
         def make_masks(parts_, rate, keys_):
             # same per-part keys AND the same PRNG path as the select path
@@ -249,19 +264,45 @@ def bilstm_stack_apply(
                 keep, from_x = 1.0 - input_dropout, True
         n = len(layers)
         for idx, layer in enumerate(layers):
+            drop_here = (idx < n - 1 and inter_dropout > 0.0 and train
+                         and dropout_key is not None)
+            out_keep_l, out_seed_l, out_masks_l = 1.0, None, None
+            if use_dropw and drop_here:
+                key = jax.random.fold_in(dropout_key, idx)
+                out_keep_l = 1.0 - inter_dropout
+                if dropw_mode == 2:
+                    # the SAME per-part keys and dropout_mask stream as the
+                    # select default — bit-identical masks, applied on the
+                    # kernel's output write instead of by an XLA fusion
+                    from eegflow.nn.layers import dropout_mask
+
+                    n_out = 2 if "bwd" in layer else 1
+                    oshape = (parts[0].shape[0], parts[0].shape[1],
+                              layer["fwd"]["w_hh"].shape[0])
+                    out_masks_l = tuple(
+                        dropout_mask(jax.random.fold_in(key, j),
+                                     inter_dropout, oshape).astype(jnp.uint8)
+                        for j in range(n_out))
+                else:
+                    out_seed_l = key_seed(key)
             if "bwd" in layer:
                 # both directions under one custom VJP: their input
                 # cotangents sum inside the reverse backward kernel
                 parts = bilstm_layer_fused_parts(
                     layer["fwd"], layer["bwd"], parts, use_bf16, masks, keep,
-                    seed, from_x)
+                    seed, from_x, out_keep=out_keep_l, out_seed=out_seed_l,
+                    out_masks=out_masks_l)
             else:
                 parts = (lstm_layer_fused_parts(
                     layer["fwd"]["w_ih"], layer["fwd"]["w_hh"],
                     layer["fwd"]["b"], parts, False, use_bf16, masks, keep,
-                    seed, from_x),)
-            if (idx < n - 1 and inter_dropout > 0.0 and train
-                    and dropout_key is not None):
+                    seed, from_x, out_keep=out_keep_l, out_seed=out_seed_l,
+                    out_mask=out_masks_l[0] if out_masks_l else None),)
+            if drop_here and use_dropw:
+                # parts are already the kernels' dropped copies; the next
+                # layer recovers the mask from the zeros (mask_from_x)
+                keep, seed, from_x, masks = 1.0 - inter_dropout, None, True, None
+            elif drop_here:
                 key = jax.random.fold_in(dropout_key, idx)
                 if use_prng:
                     keep, seed, from_x = 1.0 - inter_dropout, key_seed(key), False

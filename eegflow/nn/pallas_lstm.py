@@ -392,7 +392,8 @@ def _keep_threshold(keep: float) -> np.uint32:
     return np.uint32(min(int(keep * 2.0 ** 32), 2 ** 32 - 1))
 
 
-def _prng_block_masks(seed_ref, i_b, seq_chunk, n_parts, shapes, keep: float):
+def _prng_block_masks(seed_ref, i_b, seq_chunk, n_parts, shapes, keep: float,
+                      salt0: int = 0):
     """Generate per-part PRE-SCALED f32 mask blocks (0 or 1/keep) from the
     TPU hardware PRNG.
 
@@ -403,12 +404,15 @@ def _prng_block_masks(seed_ref, i_b, seq_chunk, n_parts, shapes, keep: float):
     mask-input path measured ~2x kernel slowdown from int8 lane unpacking).
     The select happens ONCE per block here; the per-step application is a
     plain multiply (keeps VPU work off the serial recurrence chain).
+    ``salt0`` offsets the per-part salt so logically distinct mask streams
+    (e.g. the forward kernel's OUTPUT-dropout masks, salted per direction)
+    never collide with the input-part streams.
     """
     thresh = _keep_threshold(keep)
     inv_keep = 1.0 / keep
     out = []
     for p in range(n_parts):
-        part_salt = np.uint32(((p + 1) * 0x85EBCA6B) % (1 << 32)).astype(
+        part_salt = np.uint32(((p + 1 + salt0) * 0x85EBCA6B) % (1 << 32)).astype(
             np.int32)
         s0 = seed_ref[0] ^ (i_b * _MIX1) ^ part_salt
         s1 = seed_ref[1] ^ (seq_chunk * _MIX3)
@@ -427,7 +431,9 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
                      n_parts: int, n_masks: int, keep: float,
                      prng_dropout: bool, n_chunks: int,
                      stream_tc: bool = False, adjoint_res: bool = False,
-                     emit_residuals: bool = True, chains: int = 1):
+                     emit_residuals: bool = True, chains: int = 1,
+                     out_keep: float = 1.0, out_mask: bool = False,
+                     out_prng: bool = False, out_salt: int = 16):
     """One (batch_tile, time_chunk) grid step: project + recurrence, storing
     (h, c, gates) f32 residuals. The projection matmuls are independent across
     steps, so the MXU pipelines them behind the serial recurrence chain.
@@ -438,33 +444,53 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
     Dropout applies in-kernel, so the dropped tensor and its XLA select
     fusion never exist in HBM: from the hardware PRNG when ``prng_dropout``
     (compiled TPU path — see _prng_block_masks), else from optional uint8
-    mask inputs (``n_masks`` of them — the interpret-mode oracle path)."""
+    mask inputs (``n_masks`` of them — the interpret-mode oracle path).
+
+    ``out_keep < 1`` makes the kernel ALSO write the inverted-dropout copy
+    of its own output (the next layer's input) as a second sequence output:
+    the inter-layer XLA dropout fusion — read h, generate bits, select,
+    write the dropped copy — never exists, and this kernel is the DMA-bound
+    one with VPU slack to pay for the mask. The mask comes from the hardware
+    PRNG (``out_prng``, salted per direction so the two directions'
+    output streams are independent) or a uint8 mask input (``out_mask`` —
+    the CPU-testable path, fed the same dropout_mask stream as the XLA
+    select mode). The consumer recovers the mask from the dropped zeros
+    (mask_from_x), exactly as with the XLA-select default."""
     x_refs = refs[:n_parts]
     mask_refs = refs[n_parts : n_parts + n_masks]
     o = n_parts + n_masks
-    if prng_dropout:
+    if out_mask:
+        out_mask_ref = refs[o]
+        o += 1
+    if prng_dropout or out_prng:
         seed_ref = refs[o]
         o += 1
     wih_refs = refs[o : o + n_parts]
+    o += n_parts
+    b_ref, whh_ref, h_out = refs[o : o + 3]
+    o += 3
+    drop_out = out_keep < 1.0
+    hd_out = None
+    if drop_out:
+        hd_out = refs[o]
+        o += 1
     if not emit_residuals:
         # inference/primal mode: the VJP will never run, so skip every
         # residual stream (gates, c_seq, boundaries) — at B=512/H=256 that
         # is ~800 MB of pure-waste HBM writes per layer-direction
-        (b_ref, whh_ref, h_out, h_sc, c_sc) = refs[o + n_parts :]
+        h_sc, c_sc = refs[o : o + 2]
         c_out = z_out = tc_out = hb_out = cb_out = None
     elif adjoint_res:
         # no c_seq output and no c boundaries: the precomputed residuals
         # absorb c_prev (B) and tanh(c) (E, G), so the adjoint never reads
         # the cell state at all
-        (b_ref, whh_ref, h_out, z_out, hb_out,
-         h_sc, c_sc) = refs[o + n_parts :]
+        z_out, hb_out, h_sc, c_sc = refs[o : o + 4]
         c_out = tc_out = cb_out = None
     elif stream_tc:
-        (b_ref, whh_ref, h_out, c_out, z_out, tc_out, hb_out, cb_out,
-         h_sc, c_sc) = refs[o + n_parts :]
+        c_out, z_out, tc_out, hb_out, cb_out, h_sc, c_sc = refs[o : o + 7]
     else:
-        (b_ref, whh_ref, h_out, c_out, z_out, hb_out, cb_out,
-         h_sc, c_sc) = refs[o + n_parts :]
+        c_out, z_out, hb_out, cb_out, h_sc, c_sc = refs[o : o + 6]
+        tc_out = None
 
     @pl.when(pl.program_id(1) == 0)
     def _reset_state():
@@ -481,11 +507,17 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
             cb_out[:] = c_sc[:]
 
     inv_keep = 1.0 / keep
-    if prng_dropout:
+    if prng_dropout or out_prng:
         j = pl.program_id(1)
         seq_chunk = (n_chunks - 1 - j) if reverse else j
+    if prng_dropout:
         maskv = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk,
                                   n_parts, [r.shape for r in x_refs], keep)
+    if out_prng:
+        # one pre-scaled mask block for THIS kernel's output, salted per
+        # direction (out_salt) so it never collides with input-part streams
+        omask = _prng_block_masks(seed_ref, pl.program_id(0), seq_chunk, 1,
+                                  [h_out.shape], out_keep, salt0=out_salt)[0]
 
     def fwd_step(i, sl=slice(None)):
         """One recurrence step over the row slice ``sl`` of the batch tile
@@ -512,6 +544,14 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
         h_sc[sl, :] = h_new
         c_sc[sl, :] = c_new
         h_out[sl, i, :] = h_new
+        if hd_out is not None:
+            # the inverted-dropout copy of this output, written here so the
+            # XLA inter-layer dropout fusion never exists (see docstring)
+            if out_prng:
+                hd_out[sl, i, :] = h_new * omask[sl, i, :]
+            else:
+                hd_out[sl, i, :] = _masked(h_new, out_mask_ref, i,
+                                           1.0 / out_keep, sl=sl)
         if not emit_residuals:
             return
         if adjoint_res:
@@ -551,7 +591,7 @@ def _fwd_proj_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
 
 @functools.partial(
     jax.jit, static_argnames=("batch_tile", "t_chunk", "interpret", "reverse",
-                              "keep", "need_residuals")
+                              "keep", "need_residuals", "out_keep")
 )
 def lstm_fwd_fused_proj(
     xs,
@@ -561,6 +601,9 @@ def lstm_fwd_fused_proj(
     masks=None,
     keep: float = 1.0,
     dropout_seed=None,
+    out_keep: float = 1.0,
+    out_seed=None,
+    out_mask=None,
     batch_tile: int = 128,
     t_chunk: int = 8,
     need_residuals: bool = True,
@@ -568,20 +611,36 @@ def lstm_fwd_fused_proj(
     reverse: bool = False,
 ):
     """Input parts (each (B, T, D_p), sum D_p = D) ->
-    f32 (h_seq, c_seq, gates_seq, tc_seq, h_bound, c_bound) where tc_seq
-    is tanh(c_seq) when EEGFLOW_BWD_TC=1 (streamed for the adjoint kernel)
-    and None otherwise.
+    f32 (h_seq, c_seq, gates_seq, tc_seq, h_bound, c_bound, h_drop) where
+    tc_seq is tanh(c_seq) when EEGFLOW_BWD_TC=1 (streamed for the adjoint
+    kernel) and None otherwise, and h_drop is the inverted-dropout copy of
+    h_seq when ``out_keep < 1`` (None otherwise).
 
     Weights bf16-resident; W_ih is split row-wise to match the parts so a
     bidirectional predecessor's halves are consumed without a concat. The
     (B, n_chunks*H) boundary outputs record the carry at each chunk start
     for the adjoint kernel. Dropout with rate ``1-keep`` applies to the
     input in-kernel: from ``dropout_seed`` ((2,) int32, hardware PRNG —
-    compiled TPU only) or from ``masks`` (uint8 per part, 0=drop)."""
+    compiled TPU only) or from ``masks`` (uint8 per part, 0=drop).
+    OUTPUT dropout with rate ``1-out_keep`` is applied to the written
+    ``h_drop`` copy: from ``out_seed`` ((2,) int32, hardware PRNG) or
+    ``out_mask`` (uint8 (B, T, H), 0=drop — the CPU-testable path)."""
     if isinstance(xs, jnp.ndarray):
         xs = (xs,)
     masks = tuple(masks) if masks else ()
     prng = dropout_seed is not None
+    drop_out = out_keep < 1.0
+    out_prng = drop_out and out_mask is None
+    if drop_out:
+        assert (out_seed is None) != (out_mask is None), \
+            "out_keep < 1 needs exactly one of out_seed / out_mask"
+        assert dropout_seed is None or out_seed is None, \
+            "one SMEM seed ref: in-kernel input-PRNG and output-PRNG " \
+            "dropout cannot use different seeds in the same call"
+    else:
+        assert out_seed is None and out_mask is None
+    seed_val = dropout_seed if dropout_seed is not None else out_seed
+    need_seed = prng or out_prng
     bsz, t, _ = xs[0].shape
     hidden = w_hh.shape[0]
     assert bsz % batch_tile == 0 and t % t_chunk == 0
@@ -619,7 +678,13 @@ def lstm_fwd_fused_proj(
                                # chain slices must stay (8, 128)-tile aligned
                                chains=(_FWD_CHAINS
                                        if batch_tile % (8 * _FWD_CHAINS) == 0
-                                       else 1))
+                                       else 1),
+                               out_keep=float(out_keep),
+                               out_mask=out_mask is not None,
+                               out_prng=out_prng,
+                               # per-direction salt: the two directions'
+                               # output-dropout streams must be independent
+                               out_salt=16 + (1 if reverse else 0))
     seq_h = jax.ShapeDtypeStruct((bsz, t, hidden), jnp.float32)
     res_shape = jax.ShapeDtypeStruct(
         (bsz, t, res_width), jnp.bfloat16 if _RES_BF16 else jnp.float32)
@@ -642,11 +707,16 @@ def lstm_fwd_fused_proj(
         grid=grid,
         in_specs=[blk(w) for w in widths]
         + [blk(w) for w, _ in zip(widths, masks)]
-        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if prng else [])
+        + ([blk(hidden)] if out_mask is not None else [])
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if need_seed else [])
         + [const(w, 4 * hidden) for w in widths]
         + [const(1, 4 * hidden), const(hidden, 4 * hidden)],
-        out_specs=(blk(hidden),) + extra_specs,
-        out_shape=(seq_h,) + extra_shapes,
+        out_specs=(blk(hidden),)
+        + ((blk(hidden),) if drop_out else ())
+        + extra_specs,
+        out_shape=(seq_h,)
+        + ((seq_h,) if drop_out else ())
+        + extra_shapes,
         scratch_shapes=[
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # h
             pltpu.VMEM((batch_tile, hidden), jnp.float32),  # c
@@ -657,19 +727,24 @@ def lstm_fwd_fused_proj(
         interpret=interpret,
     )(*[p.astype(jnp.float32) for p in xs],
       *[m.astype(jnp.uint8) for m in masks],
-      *([jnp.asarray(dropout_seed, jnp.int32)] if prng else []),
+      *([out_mask.astype(jnp.uint8)] if out_mask is not None else []),
+      *([jnp.asarray(seed_val, jnp.int32)] if need_seed else []),
       *[w.astype(jnp.bfloat16) for w in w_parts],
       b.reshape(1, -1).astype(jnp.float32), w_hh.astype(jnp.bfloat16))
+    outs = list(outs)
+    h = outs.pop(0)
+    hd = outs.pop(0) if drop_out else None
     if not need_residuals:
-        (h,) = outs
         c = z = tc_seq = hb = cb = None
     elif _ADJ_RES:
-        (h, z, hb), c, tc_seq, cb = outs, None, None, None
+        z, hb = outs
+        c = tc_seq = cb = None
     elif _BWD_TC:
-        h, c, z, tc_seq, hb, cb = outs
+        c, z, tc_seq, hb, cb = outs
     else:
-        (h, c, z, hb, cb), tc_seq = outs, None
-    return h, c, z, tc_seq, hb, cb
+        c, z, hb, cb = outs
+        tc_seq = None
+    return h, c, z, tc_seq, hb, cb, hd
 
 
 def _bwd_fused_kernel(*refs, t_chunk: int, hidden: int, reverse: bool,
@@ -1673,15 +1748,21 @@ def _apply_masks_xla(xs, masks, keep):
 
 
 def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False, masks=(),
-                        keep=1.0, seed=None, need_residuals=True):
+                        keep=1.0, seed=None, need_residuals=True,
+                        out_keep=1.0, out_seed=None, out_mask=None):
     """Shared forward for the custom-VJP layer (``xs`` is a tuple of input
     parts along the feature axis — a bidirectional predecessor's halves).
 
-    Returns ``(h_pad, residuals, b_sz)``. Under bf16 (the AMP hot path) the
-    in-kernel-projection forward runs (with in-kernel dropout when ``masks``
-    are given) and residuals are the f32 (h, c, gates) sequences plus the
-    padded input parts and masks; in f32 the gates einsum + recurrence
-    kernel run and residuals are (gates, h, c).
+    Returns ``(primal_pad, residuals, b_sz)`` where ``primal_pad`` is the
+    hidden sequence — or its in-kernel inverted-dropout copy when
+    ``out_keep < 1`` (see lstm_fwd_fused_proj; the consumer recovers the
+    mask from the dropped zeros, so the VJP residuals stay the UNDROPPED
+    streams and the incoming cotangent arrives already recovered). Under
+    bf16 (the AMP hot path) the in-kernel-projection forward runs (with
+    in-kernel dropout when ``masks`` are given) and residuals are the f32
+    (h, c, gates) sequences plus the padded input parts and masks; in f32
+    the gates einsum + recurrence kernel run and residuals are
+    (gates, h, c).
     """
     if isinstance(xs, jnp.ndarray):
         xs = (xs,)
@@ -1698,14 +1779,19 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False, masks=(),
         masks_pad = tuple(
             jnp.pad(m, ((0, pad_b), (0, 0), (0, 0))) if pad_b else m
             for m in masks)
-        h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound = lstm_fwd_fused_proj(
-            xs_pad, w_ih, b, w_hh, masks_pad, keep, seed,
-            batch_tile=bt, t_chunk=tc,
-            interpret=_auto_interpret(None), reverse=reverse,
-            need_residuals=need_residuals,
-        )
-        return h_pad, (h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound, xs_pad,
-                       masks_pad), b_sz
+        om_pad = (jnp.pad(out_mask, ((0, pad_b), (0, 0), (0, 0)))
+                  if (out_mask is not None and pad_b) else out_mask)
+        h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound, hd_pad = \
+            lstm_fwd_fused_proj(
+                xs_pad, w_ih, b, w_hh, masks_pad, keep, seed,
+                out_keep=out_keep, out_seed=out_seed, out_mask=om_pad,
+                batch_tile=bt, t_chunk=tc,
+                interpret=_auto_interpret(None), reverse=reverse,
+                need_residuals=need_residuals,
+            )
+        primal = hd_pad if hd_pad is not None else h_pad
+        return primal, (h_pad, c_pad, z_pad, tc_pad, h_bound, c_bound,
+                        xs_pad, masks_pad), b_sz
 
     xs_eff = _apply_masks_xla(xs, masks, keep)
     x = xs_eff[0] if len(xs_eff) == 1 else jnp.concatenate(xs_eff, axis=-1)
@@ -1718,25 +1804,40 @@ def _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16=False, masks=(),
         bf16=False, reverse=reverse,
     )
     h_pad, c_pad = out if need_residuals else (out, None)
-    return h_pad, (gates, h_pad, c_pad), b_sz
+    primal = h_pad
+    if out_keep < 1.0:
+        # f32 fallback supports the mask-oracle path only (no kernel PRNG)
+        assert out_mask is not None, \
+            "f32 output dropout needs an explicit out_mask"
+        om_pad = (jnp.pad(out_mask, ((0, pad_b), (0, 0), (0, 0)))
+                  if pad_b else out_mask)
+        primal = jnp.where(om_pad != 0, h_pad / out_keep, 0.0)
+    return primal, (gates, h_pad, c_pad), b_sz
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7, 9, 10))
 def _lstm_layer_fused_core(w_ih, w_hh, b, xs, reverse, bf16, masks, keep,
-                           seed, mask_from_x):
+                           seed, mask_from_x, out_keep, out_seed, out_mask):
     # primal = inference/eval: the VJP never runs, so skip every residual
     # stream (~800 MB of HBM writes per layer-direction at B=512)
     h_pad, _, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16,
                                          masks, keep, seed,
-                                         need_residuals=False)
+                                         need_residuals=False,
+                                         out_keep=out_keep,
+                                         out_seed=out_seed,
+                                         out_mask=out_mask)
     return h_pad[:b_sz]
 
 
 def _fused_fwd(w_ih, w_hh, b, xs, reverse, bf16, masks, keep, seed,
-               mask_from_x):
+               mask_from_x, out_keep, out_seed, out_mask):
     h_pad, res, b_sz = _fused_pipeline_fwd(w_ih, w_hh, b, xs, reverse, bf16,
-                                           masks, keep, seed)
-    return h_pad[:b_sz], (w_ih, w_hh, xs, masks, seed) + res
+                                           masks, keep, seed,
+                                           out_keep=out_keep,
+                                           out_seed=out_seed,
+                                           out_mask=out_mask)
+    return h_pad[:b_sz], (w_ih, w_hh, xs, masks, seed, out_seed,
+                          out_mask) + res
 
 
 def _mask_cotangents(masks):
@@ -1750,10 +1851,21 @@ def _seed_cotangent(seed):
             else np.zeros(jnp.shape(seed), jax.dtypes.float0))
 
 
-def _fused_bwd(reverse, bf16, keep, mask_from_x, residuals, g):
+def _opt_mask_cotangent(mask):
+    """float0 cotangent for one optional uint8 mask primal."""
+    return (None if mask is None
+            else np.zeros(jnp.shape(mask), jax.dtypes.float0))
+
+
+def _fused_bwd(reverse, bf16, keep, mask_from_x, out_keep, residuals, g):
+    # NOTE on out_keep: the incoming ``g`` is ALREADY the cotangent of the
+    # undropped output — the consumer's mask_from_x recovery applied the
+    # mask/keep factor (identical contract to the XLA dropout_fwd_only +
+    # mask_from_x default) — so the adjoint below never sees the output
+    # dropout at all. out_seed/out_mask only need float0 cotangents.
     if bf16:
-        (w_ih, w_hh, xs, masks, seed, h_pad, c_pad, z_pad, tc_pad, h_bound,
-         c_bound, xs_pad, masks_pad) = residuals
+        (w_ih, w_hh, xs, masks, seed, out_seed, out_mask, h_pad, c_pad,
+         z_pad, tc_pad, h_bound, c_bound, xs_pad, masks_pad) = residuals
         b_sz = xs[0].shape[0]
         pad_b = z_pad.shape[0] - b_sz
         bt = _pick_tile(z_pad.shape[0], _FUSED_BATCH_TILE)
@@ -1767,9 +1879,11 @@ def _fused_bwd(reverse, bf16, keep, mask_from_x, residuals, g):
         )
         return (dw_ih, dw_hh, db,
                 tuple(dx[:b_sz].astype(p.dtype) for dx, p in zip(dxs, xs)),
-                _mask_cotangents(masks), _seed_cotangent(seed))
+                _mask_cotangents(masks), _seed_cotangent(seed),
+                _seed_cotangent(out_seed), _opt_mask_cotangent(out_mask))
 
-    w_ih, w_hh, xs, masks, seed, gates, h_pad, c_pad = residuals
+    (w_ih, w_hh, xs, masks, seed, out_seed, out_mask, gates, h_pad,
+     c_pad) = residuals
     b_sz = xs[0].shape[0]
     pad_b = gates.shape[0] - b_sz
     # TPU tiling: the block's sublane dim (t_chunk) must divide by 8; the f32
@@ -1806,7 +1920,9 @@ def _fused_bwd(reverse, bf16, keep, mask_from_x, residuals, g):
         inv = 1.0 / keep
         dxs = tuple(jnp.where(p == 0.0, 0.0, d * inv)
                     for p, d in zip(xs, dxs))
-    return dw_ih, dw_hh, db, dxs, _mask_cotangents(masks), _seed_cotangent(seed)
+    return (dw_ih, dw_hh, db, dxs, _mask_cotangents(masks),
+            _seed_cotangent(seed), _seed_cotangent(out_seed),
+            _opt_mask_cotangent(out_mask))
 
 
 _lstm_layer_fused_core.defvjp(_fused_fwd, _fused_bwd)
@@ -1814,7 +1930,9 @@ _lstm_layer_fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 def lstm_layer_fused_parts(w_ih, w_hh, b, xs, reverse: bool = False,
                            bf16: bool = False, masks=None, keep: float = 1.0,
-                           dropout_seed=None, mask_from_x: bool = False):
+                           dropout_seed=None, mask_from_x: bool = False,
+                           out_keep: float = 1.0, out_seed=None,
+                           out_mask=None):
     """LSTM layer with Pallas forward AND Pallas backward kernels, consuming
     the input as a tuple of feature-axis parts (so a bidirectional
     predecessor's fwd/rev halves never get concatenated in HBM; ``dx`` comes
@@ -1837,8 +1955,11 @@ def lstm_layer_fused_parts(w_ih, w_hh, b, xs, reverse: bool = False,
     assert dropout_seed is None or (bf16 and not masks), \
         "dropout_seed needs the bf16 fused-kernel path"
     assert not (mask_from_x and (masks or dropout_seed is not None))
+    assert out_seed is None or bf16, \
+        "out_seed (PRNG output dropout) needs the bf16 fused-kernel path"
     return _lstm_layer_fused_core(w_ih, w_hh, b, xs, reverse, bf16, masks,
-                                  float(keep), dropout_seed, mask_from_x)
+                                  float(keep), dropout_seed, mask_from_x,
+                                  float(out_keep), out_seed, out_mask)
 
 
 def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False,
@@ -1855,30 +1976,45 @@ def lstm_layer_fused(w_ih, w_hh, b, x, reverse: bool = False,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6, 7, 8))
 def _bilstm_layer_fused_core(pf, pb, xs, bf16, masks, seed, keep,
-                             mask_from_x):
+                             mask_from_x, out_keep, out_seed, out_masks):
     # primal = inference/eval: skip every residual stream (see
     # _lstm_layer_fused_core)
+    om_f, om_r = (out_masks if out_masks else (None, None))
     h_f, _, b_sz = _fused_pipeline_fwd(pf["w_ih"], pf["w_hh"], pf["b"], xs,
                                        False, bf16, masks, keep, seed,
-                                       need_residuals=False)
+                                       need_residuals=False,
+                                       out_keep=out_keep, out_seed=out_seed,
+                                       out_mask=om_f)
     h_r, _, _ = _fused_pipeline_fwd(pb["w_ih"], pb["w_hh"], pb["b"], xs,
                                     True, bf16, masks, keep, seed,
-                                    need_residuals=False)
+                                    need_residuals=False,
+                                    out_keep=out_keep, out_seed=out_seed,
+                                    out_mask=om_r)
     return h_f[:b_sz], h_r[:b_sz]
 
 
-def _bilstm_fwd(pf, pb, xs, bf16, masks, seed, keep, mask_from_x):
+def _bilstm_fwd(pf, pb, xs, bf16, masks, seed, keep, mask_from_x, out_keep,
+                out_seed, out_masks):
+    om_f, om_r = (out_masks if out_masks else (None, None))
     h_f, res_f, b_sz = _fused_pipeline_fwd(pf["w_ih"], pf["w_hh"], pf["b"],
-                                           xs, False, bf16, masks, keep, seed)
+                                           xs, False, bf16, masks, keep, seed,
+                                           out_keep=out_keep,
+                                           out_seed=out_seed, out_mask=om_f)
     h_r, res_r, _ = _fused_pipeline_fwd(pb["w_ih"], pb["w_hh"], pb["b"], xs,
-                                        True, bf16, masks, keep, seed)
-    return (h_f[:b_sz], h_r[:b_sz]), (pf, pb, xs, masks, seed, res_f, res_r)
+                                        True, bf16, masks, keep, seed,
+                                        out_keep=out_keep,
+                                        out_seed=out_seed, out_mask=om_r)
+    return (h_f[:b_sz], h_r[:b_sz]), (pf, pb, xs, masks, seed, out_seed,
+                                      out_masks, res_f, res_r)
 
 
-def _bilstm_bwd(bf16, keep, mask_from_x, residuals, g):
-    pf, pb, xs, masks, seed, res_f, res_r = residuals
+def _bilstm_bwd(bf16, keep, mask_from_x, out_keep, residuals, g):
+    # the incoming g is already mask/keep-recovered by the consumer's
+    # mask_from_x when out_keep < 1 (see _fused_bwd's NOTE) — the adjoint
+    # below is identical with or without output dropout
+    pf, pb, xs, masks, seed, out_seed, out_masks, res_f, res_r = residuals
     g_f, g_r = g
     b_sz = xs[0].shape[0]
 
@@ -1907,7 +2043,10 @@ def _bilstm_bwd(bf16, keep, mask_from_x, residuals, g):
                         for a, b, p in zip(dxs_f, dxs_r, xs))
             return ({"w_ih": dwih_f, "w_hh": dwhh_f, "b": db_f},
                     {"w_ih": dwih_b, "w_hh": dwhh_b, "b": db_b},
-                    dxs, _mask_cotangents(masks), _seed_cotangent(seed))
+                    dxs, _mask_cotangents(masks), _seed_cotangent(seed),
+                    _seed_cotangent(out_seed),
+                    (tuple(_opt_mask_cotangent(m) for m in out_masks)
+                     if out_masks else None))
         dxs_f, dwih_f, dwhh_f, db_f = lstm_bwd_fused(
             z_pad, c_pad, h_pad, h_bound, c_bound, xs_pad, pad(g_f),
             pf["w_ih"], pf["w_hh"], masks_pad, keep, seed,
@@ -1925,17 +2064,23 @@ def _bilstm_bwd(bf16, keep, mask_from_x, residuals, g):
         dxs = tuple(d[:b_sz].astype(p.dtype) for d, p in zip(dxs, xs))
     else:
         # f32 fallback: two single-direction VJPs + XLA add (cold path)
-        dwih_f, dwhh_f, db_f, dxs_f, _, _ = _fused_bwd(
-            False, bf16, keep, mask_from_x,
-            (pf["w_ih"], pf["w_hh"], xs, masks, seed) + res_f, g_f)
-        dwih_b, dwhh_b, db_b, dxs_b, _, _ = _fused_bwd(
-            True, bf16, keep, mask_from_x,
-            (pb["w_ih"], pb["w_hh"], xs, masks, seed) + res_r, g_r)
+        om_f, om_r = (out_masks if out_masks else (None, None))
+        dwih_f, dwhh_f, db_f, dxs_f, _, _, _, _ = _fused_bwd(
+            False, bf16, keep, mask_from_x, out_keep,
+            (pf["w_ih"], pf["w_hh"], xs, masks, seed, out_seed, om_f)
+            + res_f, g_f)
+        dwih_b, dwhh_b, db_b, dxs_b, _, _, _, _ = _fused_bwd(
+            True, bf16, keep, mask_from_x, out_keep,
+            (pb["w_ih"], pb["w_hh"], xs, masks, seed, out_seed, om_r)
+            + res_r, g_r)
         dxs = tuple(a + b for a, b in zip(dxs_f, dxs_b))
 
     return ({"w_ih": dwih_f, "w_hh": dwhh_f, "b": db_f},
             {"w_ih": dwih_b, "w_hh": dwhh_b, "b": db_b},
-            dxs, _mask_cotangents(masks), _seed_cotangent(seed))
+            dxs, _mask_cotangents(masks), _seed_cotangent(seed),
+            _seed_cotangent(out_seed),
+            (tuple(_opt_mask_cotangent(m) for m in out_masks)
+             if out_masks else None))
 
 
 _bilstm_layer_fused_core.defvjp(_bilstm_fwd, _bilstm_bwd)
@@ -1943,17 +2088,27 @@ _bilstm_layer_fused_core.defvjp(_bilstm_fwd, _bilstm_bwd)
 
 def bilstm_layer_fused_parts(params_fwd, params_bwd, xs, bf16: bool = False,
                              masks=None, keep: float = 1.0,
-                             dropout_seed=None, mask_from_x: bool = False):
+                             dropout_seed=None, mask_from_x: bool = False,
+                             out_keep: float = 1.0, out_seed=None,
+                             out_masks=None):
     """Both directions of a bidirectional layer under one custom VJP.
 
     Returns ``(h_fwd, h_rev)`` parts; the input cotangent sum happens inside
     the reverse direction's backward kernel (see section header).
+    ``out_keep < 1`` makes each direction's forward kernel write the
+    inverted-dropout copy of its output instead (mask from ``out_seed``,
+    direction-salted hardware PRNG, or from per-direction uint8
+    ``out_masks``); the consumer must then run with ``mask_from_x``.
     """
     if isinstance(xs, jnp.ndarray):
         xs = (xs,)
     masks = tuple(masks) if masks else ()
+    out_masks = tuple(out_masks) if out_masks else None
     assert dropout_seed is None or (bf16 and not masks)
     assert not (mask_from_x and (masks or dropout_seed is not None))
+    assert out_masks is None or len(out_masks) == 2
+    assert out_seed is None or bf16
     return _bilstm_layer_fused_core(params_fwd, params_bwd, tuple(xs), bf16,
                                     masks, dropout_seed, float(keep),
-                                    mask_from_x)
+                                    mask_from_x, float(out_keep), out_seed,
+                                    out_masks)

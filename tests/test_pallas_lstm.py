@@ -449,3 +449,66 @@ def test_stack_mask_dropout_mode_matches_default(monkeypatch, extra_env):
                                    atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fwd_kernel_writes_dropped_copy_semantics():
+    """``out_keep < 1`` with an explicit ``out_mask``: the forward kernel's
+    h_drop output equals where(mask, h/keep, 0) of the UNDROPPED h it also
+    returns — both traversal directions (the forward-kernel-writes-the-
+    dropped-copy mode, EEGFLOW_FWD_DROPW, which removes the inter-layer XLA
+    dropout fusion; ref dropout semantics 04_lstm_model.py:181-188)."""
+    from eegflow.nn.pallas_lstm import lstm_fwd_fused_proj
+
+    d_in, hid, keep = 8, 16, 0.7
+    params = lstm_layer_init(jax.random.key(61), d_in, hid)
+    rng = np.random.default_rng(61)
+    x = jnp.asarray(rng.standard_normal((8, 16, d_in)), jnp.float32)
+    om = jnp.asarray(rng.random((8, 16, hid)) < keep, jnp.uint8)
+    for reverse in (False, True):
+        h, _, _, _, _, _, hd = lstm_fwd_fused_proj(
+            (x,), params["w_ih"], params["b"], params["w_hh"],
+            out_keep=keep, out_mask=om, batch_tile=8, t_chunk=8,
+            interpret=True, reverse=reverse)
+        expect = np.where(np.asarray(om) != 0, np.asarray(h) / keep, 0.0)
+        np.testing.assert_allclose(np.asarray(hd), expect, atol=1e-6)
+    # drop rate sanity on the realized zeros
+    frac = float((np.asarray(hd) == 0.0).mean())
+    assert abs(frac - (1 - keep)) < 0.05, frac
+
+
+def test_fwd_dropw_mode2_bit_identical_to_select():
+    """EEGFLOW_FWD_DROPW=2 (forward kernels write the inter-layer dropped
+    copies from XLA-generated uint8 masks) is BIT-IDENTICAL to the default
+    select path — identical dropout_mask streams, identical mask_from_x
+    backward — for stack outputs AND every gradient leaf."""
+    import os
+
+    from eegflow.nn.lstm import bilstm_stack_apply, bilstm_stack_init
+
+    layers = bilstm_stack_init(jax.random.key(71), 12, 16, 3)
+    x = jax.random.normal(jax.random.key(72), (8, 16, 12), jnp.float32)
+    dk, idk = jax.random.key(73), jax.random.key(74)
+
+    def run(mode):
+        os.environ["EEGFLOW_FWD_DROPW"] = mode
+        try:
+            jax.clear_caches()
+
+            def loss(ls):
+                out = bilstm_stack_apply(
+                    ls, x, inter_dropout=0.4, train=True, dropout_key=dk,
+                    compute_dtype=jnp.bfloat16, impl="pallas",
+                    input_dropout=0.3, input_dropout_key=idk)
+                return jnp.sum(jnp.tanh(out)), out
+
+            return jax.value_and_grad(loss, has_aux=True)(layers)
+        finally:
+            os.environ.pop("EEGFLOW_FWD_DROPW", None)
+            jax.clear_caches()
+
+    (l0, o0), g0 = run("0")
+    (l2, o2), g2 = run("2")
+    assert float(l0) == float(l2)
+    assert jnp.array_equal(o0, o2)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
+        assert jnp.array_equal(a, b)
