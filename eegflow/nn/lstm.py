@@ -222,6 +222,15 @@ def bilstm_stack_apply(
         use_dropw = (use_bf16 and not use_prng and not use_masks
                      and dropw_mode > 0
                      and (dropw_mode == 2 or not _auto_interpret(None)))
+        # A/B candidate (EEGFLOW_INPUT_PRNG=1): in-kernel hardware-PRNG
+        # dropout for the INPUT only. KERNEL_DROPOUT lost because it
+        # regenerated H=256-wide masks in both kernels of every layer; the
+        # input is 61-wide (~1/4 the bits) and its XLA fusion is the third
+        # dropout fusion in the step trace (~0.9 ms at B=512 under DROP8).
+        # The path itself is the TPU-validated one (check_prng_dropout.py).
+        use_inprng = (use_bf16 and not use_prng and not use_masks
+                      and not _auto_interpret(None)
+                      and _os.environ.get("EEGFLOW_INPUT_PRNG", "0") == "1")
 
         def make_masks(parts_, rate, keys_):
             # same per-part keys AND the same PRNG path as the select path
@@ -252,7 +261,7 @@ def bilstm_stack_apply(
         parts = (x,)
         keep, seed, from_x, masks = 1.0, None, False, None
         if input_dropout > 0.0 and train and input_dropout_key is not None:
-            if use_prng:
+            if use_prng or use_inprng:
                 keep = 1.0 - input_dropout
                 seed = key_seed(input_dropout_key)
             elif use_masks:
@@ -284,7 +293,12 @@ def bilstm_stack_apply(
                                      inter_dropout, oshape).astype(jnp.uint8)
                         for j in range(n_out))
                 else:
-                    out_seed_l = key_seed(key)
+                    # shared-seed mode: when this layer already carries an
+                    # in-kernel input seed (EEGFLOW_INPUT_PRNG, layer 0),
+                    # its output masks derive from that seed instead — the
+                    # kernel takes one SMEM seed ref, and the streams stay
+                    # independent via the per-purpose salts
+                    out_seed_l = None if seed is not None else key_seed(key)
             if "bwd" in layer:
                 # both directions under one custom VJP: their input
                 # cotangents sum inside the reverse backward kernel

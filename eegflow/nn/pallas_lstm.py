@@ -632,11 +632,15 @@ def lstm_fwd_fused_proj(
     drop_out = out_keep < 1.0
     out_prng = drop_out and out_mask is None
     if drop_out:
-        assert (out_seed is None) != (out_mask is None), \
-            "out_keep < 1 needs exactly one of out_seed / out_mask"
+        assert out_mask is not None or out_seed is not None or prng, \
+            "out_keep < 1 needs an out_mask, an out_seed, or (shared-seed " \
+            "mode) an input dropout_seed"
+        # one SMEM seed ref per kernel: when BOTH in-kernel input-PRNG and
+        # output-PRNG dropout are active, the input seed seeds both streams
+        # (they stay independent via the per-purpose salts)
         assert dropout_seed is None or out_seed is None, \
-            "one SMEM seed ref: in-kernel input-PRNG and output-PRNG " \
-            "dropout cannot use different seeds in the same call"
+            "pass ONE seed: with input-PRNG active, output masks derive " \
+            "from dropout_seed (salt-separated)"
     else:
         assert out_seed is None and out_mask is None
     seed_val = dropout_seed if dropout_seed is not None else out_seed

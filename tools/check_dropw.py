@@ -94,6 +94,31 @@ def main():
     print(f"composite grad worst rel diff {worst:.2e}")
     assert worst < 1e-4, worst
 
+    # 4. shared-seed composition (EEGFLOW_INPUT_PRNG + FWD_DROPW on the
+    # same layer): one SMEM seed drives BOTH the input masks and the
+    # output-copy masks, salt-separated. Check that the realized input and
+    # output masks are independent (their zero patterns don't correlate)
+    # and both rates are right.
+    h2_f, h2_r = bilstm_layer_fused_parts(pf, pb, (x,), True, None, keep,
+                                          seed, False, out_keep=keep)
+    gx = jax.grad(lambda xv: jnp.sum(bilstm_layer_fused_parts(
+        pf, pb, (xv,), True, None, keep, seed, False, out_keep=keep)[0]))(x)
+    in_frac = float((np.asarray(gx) == 0.0).mean())
+    out_frac = float((np.asarray(h2_f) == 0.0).mean())
+    print(f"shared-seed: input drop frac {in_frac:.3f}, output drop frac "
+          f"{out_frac:.3f} (both expect ~{1 - keep:.3f})")
+    assert abs(in_frac - (1 - keep)) < 0.05, in_frac
+    assert abs(out_frac - (1 - keep)) < 0.05, out_frac
+    # salt independence: same seed, different purpose -> different streams
+    # (compare the fwd-direction output mask against the dropw-only run,
+    # which used a DIFFERENT seed, as a sanity floor; and input-vs-output
+    # agreement must look independent)
+    h2_kept = np.asarray(h2_f) != 0
+    hd_kept = np.asarray(hd_f) != 0
+    agree2 = (h2_kept == hd_kept).mean()
+    print(f"shared-seed vs out-seed output-mask agreement {agree2:.3f}")
+    assert agree2 < 0.9, agree2
+
     print("FWD_DROPW mode-1 (hardware PRNG dropped-copy) path OK")
 
 
