@@ -94,9 +94,21 @@ def classifier_apply(
             keys[n] = jax.random.fold_in(dropout_key, i)
 
     # input projection block (ref 04:173-178): Linear -> LN -> GELU -> Dropout(d/2)
-    h = dense_apply(params["input_proj"], x, compute_dtype)
-    h = layer_norm_apply(params["input_norm"], h)
-    h = gelu(h)
+    # A/B flag EEGFLOW_FUSED_INPUT=1: one Pallas kernel pair (recomputing
+    # custom VJP) instead of ~6 XLA (B, T, H) sweeps — ~1 ms/step of the
+    # non-kernel residue at B=512 (eegflow.nn.pallas_input).
+    import os as _os
+
+    if (lstm_impl == "pallas"
+            and _os.environ.get("EEGFLOW_FUSED_INPUT", "0") == "1"):
+        from eegflow.nn.pallas_input import input_block_fused
+
+        h = input_block_fused(params["input_proj"], params["input_norm"], x,
+                              bf16=compute_dtype == jnp.bfloat16)
+    else:
+        h = dense_apply(params["input_proj"], x, compute_dtype)
+        h = layer_norm_apply(params["input_norm"], h)
+        h = gelu(h)
 
     # BiLSTM stack with inter-layer dropout d (ref 04:181-188). The input
     # dropout (d/2) is delegated to the stack: the pallas path folds it into

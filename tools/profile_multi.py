@@ -43,7 +43,7 @@ KNOWN_FLAGS = [
     "EEGFLOW_BWD_DUALDIR", "EEGFLOW_DUALDIR_BT", "EEGFLOW_FUSED_BT",
     "EEGFLOW_FUSED_TC", "EEGFLOW_MASK_DROPOUT", "EEGFLOW_KERNEL_DROPOUT",
     "EEGFLOW_RBG_DROPOUT", "EEGFLOW_PRNG", "EEGFLOW_DROP8",
-    "EEGFLOW_FWD_DROPW", "EEGFLOW_INPUT_PRNG",
+    "EEGFLOW_FWD_DROPW", "EEGFLOW_INPUT_PRNG", "EEGFLOW_FUSED_INPUT",
 ]
 
 
