@@ -153,8 +153,15 @@ def bilstm_stack_apply(
     input_dropout: float = 0.0,
     input_dropout_key: Optional[jax.Array] = None,
     return_parts: bool = False,
+    input_predropped: bool = False,
 ) -> jnp.ndarray:
     """(B, T, D) -> (B, T, H*n_dir); inter-layer dropout like torch nn.LSTM.
+
+    ``input_predropped`` declares that ``x`` ALREADY carries the input
+    dropout (rate ``input_dropout``, inverted scaling, exact zeros at
+    dropped positions — e.g. the fused input block's folded-dropout output,
+    eegflow.nn.pallas_input): the pallas path then only arms the first
+    layer's mask_from_x recovery instead of dropping again.
 
     ``impl='pallas'`` routes each direction through the fused Pallas
     recurrence kernel (bit-exact, training-safe via custom_vjp);
@@ -170,7 +177,8 @@ def bilstm_stack_apply(
     ever existing in HBM; the scan path returns a 1-tuple.
     """
     impl = resolve_lstm_impl(impl)
-    if impl != "pallas" and input_dropout > 0.0 and train:
+    if (impl != "pallas" and input_dropout > 0.0 and train
+            and not input_predropped):
         x = dropout(x, input_dropout, input_dropout_key, train)
     if impl == "pallas":
         # Parts-based stack: a bidirectional layer's fwd/rev halves flow to
@@ -207,18 +215,21 @@ def bilstm_stack_apply(
         # (the PRNG path's validation oracle), so gradients are exact.
         use_masks = (not use_prng and _os.environ.get(
             "EEGFLOW_MASK_DROPOUT", "0") == "1")
-        # A/B candidate (EEGFLOW_FWD_DROPW): the PRODUCING layer's forward
-        # kernel writes the inter-layer inverted-dropout copy itself, so the
-        # XLA dropout fusion (read h + bit-gen + select + write the dropped
-        # copy, ~2.9 ms/step at B=512 under DROP8) never exists; the
-        # backward contract stays mask_from_x recovery, exactly as the
-        # select default. Mode 1: mask from the forward kernel's hardware
-        # PRNG (direction-salted; compiled TPU only — generated ONCE, in the
-        # kernel with VPU slack, unlike KERNEL_DROPOUT's fwd+bwd double
-        # generation). Mode 2: XLA generates the uint8 masks (the cheap
-        # DROP8/rbg bit path) and the kernel applies them on write —
+        # DEFAULT (measured winner, v5e B=512: 36.54 ms/step MFU 47.4% vs
+        # 38.10 select — docs/ab_r5/ab_multi4.json): the PRODUCING layer's
+        # forward kernel writes the inter-layer inverted-dropout copy
+        # itself, so the XLA dropout fusion (read h + bit-gen + select +
+        # write the dropped copy, ~2.9 ms/step at B=512 under DROP8) never
+        # exists; the backward contract stays mask_from_x recovery, exactly
+        # as the select path. Mode 1 (the default): mask from the forward
+        # kernel's hardware PRNG (direction-salted; compiled TPU only —
+        # generated ONCE, in the kernel with VPU slack, unlike
+        # KERNEL_DROPOUT's fwd+bwd double generation; TPU-validated by
+        # tools/check_dropw.py). Mode 2: XLA generates the uint8 masks (the
+        # cheap DROP8/rbg bit path) and the kernel applies them on write —
         # bit-identical streams to the select default, and CPU-testable.
-        dropw_mode = int(_os.environ.get("EEGFLOW_FWD_DROPW", "0") or 0)
+        # EEGFLOW_FWD_DROPW=0 restores the XLA-select path.
+        dropw_mode = int(_os.environ.get("EEGFLOW_FWD_DROPW", "1") or 0)
         use_dropw = (use_bf16 and not use_prng and not use_masks
                      and dropw_mode > 0
                      and (dropw_mode == 2 or not _auto_interpret(None)))
@@ -260,7 +271,9 @@ def bilstm_stack_apply(
         # dropout-backward fusions (~4 ms/step at B=512) never exist.
         parts = (x,)
         keep, seed, from_x, masks = 1.0, None, False, None
-        if input_dropout > 0.0 and train and input_dropout_key is not None:
+        if input_predropped and input_dropout > 0.0 and train:
+            keep, from_x = 1.0 - input_dropout, True
+        elif input_dropout > 0.0 and train and input_dropout_key is not None:
             if use_prng or use_inprng:
                 keep = 1.0 - input_dropout
                 seed = key_seed(input_dropout_key)

@@ -99,12 +99,37 @@ def classifier_apply(
     # non-kernel residue at B=512 (eegflow.nn.pallas_input).
     import os as _os
 
+    input_predropped = False
     if (lstm_impl == "pallas"
             and _os.environ.get("EEGFLOW_FUSED_INPUT", "0") == "1"):
         from eegflow.nn.pallas_input import input_block_fused
+        from eegflow.nn.pallas_lstm import _auto_interpret
 
+        # with EEGFLOW_FWD_DROPW set, fold the input dropout (d/2) into the
+        # block's output write: the undropped y is needed by nobody (the
+        # block's backward recomputes from x), so the (B, T, H) dropout
+        # fusion disappears at zero extra HBM. The stack then consumes a
+        # pre-dropped input (mask_from_x recovery, same contract as its
+        # inter-layer dropw mode).
+        dropw_mode = int(_os.environ.get("EEGFLOW_FWD_DROPW", "1") or 0)
+        out_keep, out_seed, out_mask = 1.0, None, None
+        if dropw_mode > 0 and train and d > 0 and keys.get("inp") is not None:
+            if dropw_mode == 2:
+                from eegflow.nn.layers import dropout_mask
+
+                oshape = (x.shape[0], x.shape[1],
+                          params["input_proj"]["w"].shape[1])
+                out_mask = dropout_mask(keys["inp"], d / 2,
+                                        oshape).astype(jnp.uint8)
+                out_keep, input_predropped = 1.0 - d / 2, True
+            elif not _auto_interpret(None):
+                out_seed = jax.random.key_data(
+                    keys["inp"]).astype(jnp.uint32).view(jnp.int32)[:2]
+                out_keep, input_predropped = 1.0 - d / 2, True
         h = input_block_fused(params["input_proj"], params["input_norm"], x,
-                              bf16=compute_dtype == jnp.bfloat16)
+                              bf16=compute_dtype == jnp.bfloat16,
+                              out_keep=out_keep, out_seed=out_seed,
+                              out_mask=out_mask)
     else:
         h = dense_apply(params["input_proj"], x, compute_dtype)
         h = layer_norm_apply(params["input_norm"], h)
@@ -120,6 +145,7 @@ def classifier_apply(
         train=train, dropout_key=keys.get("lstm"), compute_dtype=compute_dtype,
         impl=lstm_impl, input_dropout=d / 2,
         input_dropout_key=keys.get("inp"), return_parts=use_fused_pool,
+        input_predropped=input_predropped,
     )
 
     if use_fused_pool:

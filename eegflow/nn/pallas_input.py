@@ -34,15 +34,31 @@ _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT2PI = 0.3989422804014327
 
 
+def _erf(x):
+    """erf via the Abramowitz & Stegun 7.1.26 rational approximation,
+    |abs err| <= 1.5e-7 — below f32 eps, so f32-exact in practice.
+
+    Needed because ``jax.lax.erf`` has no Mosaic TPU lowering
+    (NotImplementedError: Unimplemented primitive ... erf, measured on a
+    real v5e) — ``exp`` does lower, so the A&S form compiles in-kernel."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    r = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0.0, -r, r)
+
+
 def _gelu_exact(z):
-    """Exact (erf) GELU, matching eegflow.nn.layers.gelu."""
-    return 0.5 * z * (1.0 + jax.lax.erf(z * _INV_SQRT2))
+    """Exact (erf) GELU, matching eegflow.nn.layers.gelu to ~1.5e-7."""
+    return 0.5 * z * (1.0 + _erf(z * _INV_SQRT2))
 
 
 def _gelu_grad(z):
     """d/dz of exact GELU: Phi(z) + z * phi(z)."""
     phi = jnp.exp(-0.5 * z * z) * _INV_SQRT2PI
-    cdf = 0.5 * (1.0 + jax.lax.erf(z * _INV_SQRT2))
+    cdf = 0.5 * (1.0 + _erf(z * _INV_SQRT2))
     return cdf + z * phi
 
 
@@ -59,12 +75,43 @@ def _proj_ln(x2, w_ref, b_ref, gamma_ref, beta_ref, eps, bf16):
     return xhat * gamma_ref[0, :] + beta_ref[0, :], xhat, rsig
 
 
-def _input_block_fwd_kernel(x_ref, w_ref, b_ref, gamma_ref, beta_ref, y_ref,
-                            *, eps: float, bf16: bool):
+def _input_block_fwd_kernel(*refs, eps: float, bf16: bool,
+                            out_keep: float = 1.0, out_mask: bool = False,
+                            out_prng: bool = False):
+    """y = gelu(LN(xW + b)); with ``out_keep < 1`` the kernel writes the
+    inverted-dropout copy INSTEAD — the undropped y is needed by nobody
+    (this block's backward recomputes from x; the consumer recovers the
+    mask from the zeros via mask_from_x), so folding the input dropout here
+    is pure savings: the XLA dropout fusion on (B, T, H) never exists and
+    no extra byte is written."""
+    o = 0
+    x_ref = refs[o]
+    o += 1
+    if out_mask:
+        out_mask_ref = refs[o]
+        o += 1
+    if out_prng:
+        seed_ref = refs[o]
+        o += 1
+    w_ref, b_ref, gamma_ref, beta_ref, y_ref = refs[o : o + 5]
+
     bt, tc, c = x_ref.shape
+    h = y_ref.shape[-1]
     x2 = x_ref[:].reshape(bt * tc, c)
     z_ln, _, _ = _proj_ln(x2, w_ref, b_ref, gamma_ref, beta_ref, eps, bf16)
-    y_ref[:] = _gelu_exact(z_ln).reshape(bt, tc, y_ref.shape[-1])
+    y = _gelu_exact(z_ln).reshape(bt, tc, h)
+    if out_prng:
+        from eegflow.nn.pallas_lstm import _prng_block_masks
+
+        # salt0=32: distinct from the LSTM kernels' input (0) and
+        # output (16/17) mask streams
+        omask = _prng_block_masks(seed_ref, pl.program_id(0),
+                                  pl.program_id(1), 1, [(bt, tc, h)],
+                                  out_keep, salt0=32)[0]
+        y = y * omask
+    elif out_mask:
+        y = jnp.where(out_mask_ref[:] != 0, y * (1.0 / out_keep), 0.0)
+    y_ref[:] = y
 
 
 def _input_block_bwd_kernel(x_ref, dy_ref, w_ref, wt_ref, b_ref, gamma_ref,
@@ -114,11 +161,21 @@ def _shapes(x, batch_tile, t_chunk):
 
 @functools.partial(jax.jit,
                    static_argnames=("bf16", "batch_tile", "t_chunk",
-                                    "interpret"))
-def _fwd_call(x, w, b, gamma, beta, bf16, batch_tile, t_chunk, interpret):
+                                    "interpret", "out_keep"))
+def _fwd_call(x, w, b, gamma, beta, bf16, batch_tile, t_chunk, interpret,
+              out_keep=1.0, out_seed=None, out_mask=None):
     b_sz, t, c = x.shape
     h = w.shape[1]
-    kernel = functools.partial(_input_block_fwd_kernel, eps=1e-5, bf16=bf16)
+    drop_out = out_keep < 1.0
+    out_prng = drop_out and out_mask is None
+    if drop_out:
+        assert (out_seed is None) != (out_mask is None)
+    else:
+        assert out_seed is None and out_mask is None
+    kernel = functools.partial(_input_block_fwd_kernel, eps=1e-5, bf16=bf16,
+                               out_keep=float(out_keep),
+                               out_mask=out_mask is not None,
+                               out_prng=out_prng)
     blk = lambda width: pl.BlockSpec((batch_tile, t_chunk, width),
                                      lambda i, j: (i, j, 0),
                                      memory_space=pltpu.VMEM)
@@ -127,11 +184,16 @@ def _fwd_call(x, w, b, gamma, beta, bf16, batch_tile, t_chunk, interpret):
     return pl.pallas_call(
         kernel,
         grid=(b_sz // batch_tile, t // t_chunk),
-        in_specs=[blk(c), const(c, h), const(1, h), const(1, h), const(1, h)],
+        in_specs=[blk(c)]
+        + ([blk(h)] if out_mask is not None else [])
+        + ([pl.BlockSpec(memory_space=pltpu.SMEM)] if out_prng else [])
+        + [const(c, h), const(1, h), const(1, h), const(1, h)],
         out_specs=blk(h),
         out_shape=jax.ShapeDtypeStruct((b_sz, t, h), jnp.float32),
         interpret=interpret,
     )(x.astype(jnp.float32),
+      *([out_mask.astype(jnp.uint8)] if out_mask is not None else []),
+      *([jnp.asarray(out_seed, jnp.int32)] if out_prng else []),
       w.astype(jnp.bfloat16 if bf16 else jnp.float32),
       b.reshape(1, -1).astype(jnp.float32),
       gamma.reshape(1, -1).astype(jnp.float32),
@@ -171,47 +233,62 @@ def _bwd_call(x, dy, w, b, gamma, beta, bf16, batch_tile, t_chunk, interpret):
       beta.reshape(1, -1).astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _input_block_core(proj, norm, bf16, x):
-    y, _ = _input_block_fwd(proj, norm, bf16, x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _input_block_core(proj, norm, bf16, out_keep, x, out_seed, out_mask):
+    y, _ = _input_block_fwd(proj, norm, bf16, out_keep, x, out_seed,
+                            out_mask)
     return y
 
 
-def _input_block_fwd(proj, norm, bf16, x):
+def _input_block_fwd(proj, norm, bf16, out_keep, x, out_seed, out_mask):
     bt, pad_b, tc, interp = _shapes(x, 128, 8)
     b_sz = x.shape[0]
-    x_pad = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0))) if pad_b else x
-    y = _fwd_call(x_pad, proj["w"], proj["b"], norm["scale"], norm["bias"],
-                  bf16, bt, tc, interp)
-    return y[:b_sz], (proj, norm, x)
+    pad = lambda a: (jnp.pad(a, ((0, pad_b), (0, 0), (0, 0))) if pad_b else a)
+    y = _fwd_call(pad(x), proj["w"], proj["b"], norm["scale"], norm["bias"],
+                  bf16, bt, tc, interp, out_keep=out_keep,
+                  out_seed=out_seed,
+                  out_mask=pad(out_mask) if out_mask is not None else None)
+    return y[:b_sz], (proj, norm, x, out_seed, out_mask)
 
 
-def _input_block_bwd(bf16, res, g):
-    proj, norm, x = res
+def _input_block_bwd(bf16, out_keep, res, g):
+    # with out_keep < 1 the incoming g is ALREADY the cotangent of the
+    # undropped y — the consumer's mask_from_x recovery applied mask/keep
+    # (same contract as the LSTM kernels' FWD_DROPW mode) — so the adjoint
+    # is identical with or without the folded dropout
+    proj, norm, x, out_seed, out_mask = res
     bt, pad_b, tc, interp = _shapes(x, 128, 8)
     b_sz = x.shape[0]
     pad = lambda a: (jnp.pad(a, ((0, pad_b), (0, 0), (0, 0))) if pad_b else a)
     dx, dw, db, dgam, dbet = _bwd_call(
         pad(x), pad(g), proj["w"], proj["b"], norm["scale"], norm["bias"],
         bf16, bt, tc, interp)
+    from eegflow.nn.pallas_lstm import _opt_mask_cotangent, _seed_cotangent
+
     return ({"w": dw, "b": db[0]},
             {"scale": dgam[0], "bias": dbet[0]},
-            dx[:b_sz].astype(x.dtype))
+            dx[:b_sz].astype(x.dtype),
+            _seed_cotangent(out_seed), _opt_mask_cotangent(out_mask))
 
 
-_input_block_core.defvjp(lambda proj, norm, bf16, x:
-                         _input_block_fwd(proj, norm, bf16, x),
-                         _input_block_bwd)
+_input_block_core.defvjp(_input_block_fwd, _input_block_bwd)
 
 
 def input_block_fused(proj: Dict[str, jnp.ndarray],
                       norm: Dict[str, jnp.ndarray], x: jnp.ndarray,
-                      bf16: bool = False) -> jnp.ndarray:
+                      bf16: bool = False, out_keep: float = 1.0,
+                      out_seed=None, out_mask=None) -> jnp.ndarray:
     """Fused ``gelu(LayerNorm(x @ W + b))`` over (B, T, C) windows.
 
     Drop-in for the XLA input-projection block (model.classifier_apply;
     ref 04_lstm_model.py:173-178), training-safe via a recomputing custom
     VJP (no (B, T, H) residual streams). ``bf16`` runs both matmuls on the
     MXU in bfloat16 with f32 accumulation (the AMP policy).
+
+    ``out_keep < 1`` writes the inverted-dropout copy INSTEAD of y (mask
+    from ``out_seed`` — hardware PRNG, compiled TPU — or uint8 ``out_mask``,
+    the CPU-testable path); the consumer must recover the mask from the
+    zeros (mask_from_x), after which gradients flow exactly as undropped.
     """
-    return _input_block_core(proj, norm, bool(bf16), x)
+    return _input_block_core(proj, norm, bool(bf16), float(out_keep), x,
+                             out_seed, out_mask)

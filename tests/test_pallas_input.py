@@ -97,3 +97,59 @@ def test_classifier_with_fused_input_matches_default(monkeypatch):
     jax.clear_caches()
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_input_block_folded_dropout_semantics():
+    """out_keep < 1 with an explicit out_mask: the block's output is the
+    inverted-dropout copy of its undropped output, exactly."""
+    proj, norm, x = _setup(seed=21)
+    keep = 0.7
+    rng = np.random.default_rng(21)
+    h = proj["w"].shape[1]
+    om = jnp.asarray(rng.random((x.shape[0], x.shape[1], h)) < keep,
+                     jnp.uint8)
+    y = input_block_fused(proj, norm, x)
+    yd = input_block_fused(proj, norm, x, out_keep=keep, out_mask=om)
+    expect = np.where(np.asarray(om) != 0, np.asarray(y) / keep, 0.0)
+    np.testing.assert_allclose(np.asarray(yd), expect, atol=1e-6, rtol=1e-6)
+
+
+def test_classifier_folded_input_dropout_bit_identical(monkeypatch):
+    """FUSED_INPUT=1 + FWD_DROPW=2 (input dropout folded into the block's
+    output write + inter-layer dropped copies from the kernels) is
+    bit-identical in loss and every gradient to FUSED_INPUT=1 alone (select
+    dropout on the same mask streams) — the full train-mode classifier."""
+    from eegflow.core.config import ModelConfig
+    from eegflow.nn.model import classifier_apply, classifier_init
+
+    cfg = ModelConfig(input_size=13, hidden_size=16, num_layers=3)
+    params = classifier_init(jax.random.key(31), cfg)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((8, 16, 13)), jnp.float32)
+    dk = jax.random.key(32)
+
+    def run(dropw):
+        monkeypatch.setenv("EEGFLOW_FUSED_INPUT", "1")
+        if dropw:
+            monkeypatch.setenv("EEGFLOW_FWD_DROPW", "2")
+        try:
+            jax.clear_caches()
+
+            def loss(p):
+                logits = classifier_apply(p, x, cfg, train=True,
+                                          dropout_key=dk,
+                                          compute_dtype=jnp.bfloat16,
+                                          lstm_impl="pallas")
+                return jnp.sum(jax.nn.log_softmax(logits))
+
+            return jax.value_and_grad(loss)(params)
+        finally:
+            monkeypatch.delenv("EEGFLOW_FUSED_INPUT", raising=False)
+            monkeypatch.delenv("EEGFLOW_FWD_DROPW", raising=False)
+            jax.clear_caches()
+
+    v0, g0 = run(False)
+    v2, g2 = run(True)
+    assert float(v0) == float(v2)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
+        assert jnp.array_equal(a, b)

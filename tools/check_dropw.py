@@ -109,15 +109,26 @@ def main():
           f"{out_frac:.3f} (both expect ~{1 - keep:.3f})")
     assert abs(in_frac - (1 - keep)) < 0.05, in_frac
     assert abs(out_frac - (1 - keep)) < 0.05, out_frac
-    # salt independence: same seed, different purpose -> different streams
-    # (compare the fwd-direction output mask against the dropw-only run,
-    # which used a DIFFERENT seed, as a sanity floor; and input-vs-output
-    # agreement must look independent)
+    # determinism: the output-mask stream is a pure function of
+    # (seed, salt, block position) — arming the INPUT mask stream on the
+    # same seed must not perturb it. hd_f came from a run with out_seed =
+    # the SAME seed and no input dropout; its zero pattern must MATCH
+    # exactly (this is what lets mask_from_x replay across flag modes).
     h2_kept = np.asarray(h2_f) != 0
     hd_kept = np.asarray(hd_f) != 0
     agree2 = (h2_kept == hd_kept).mean()
-    print(f"shared-seed vs out-seed output-mask agreement {agree2:.3f}")
-    assert agree2 < 0.9, agree2
+    print(f"shared-seed vs out-seed output-mask agreement {agree2:.3f} "
+          f"(same seed + same salt -> expect 1.0)")
+    assert agree2 == 1.0, agree2
+    # and the seed actually drives the stream: a different seed must give
+    # an (independent-looking) different pattern
+    seed_b = jnp.asarray([1111, 2222], jnp.int32)
+    hd_f2, _ = bilstm_layer_fused_parts(pf, pb, (x,), True,
+                                        out_keep=keep, out_seed=seed_b)
+    agree3 = ((np.asarray(hd_f2) != 0) == hd_kept).mean()
+    print(f"different-seed output-mask agreement {agree3:.3f} "
+          f"(independent ~= {keep**2 + (1-keep)**2:.3f})")
+    assert agree3 < 0.9, agree3
 
     print("FWD_DROPW mode-1 (hardware PRNG dropped-copy) path OK")
 

@@ -58,6 +58,20 @@ def main():
                                  / (np.max(np.abs(b)) + 1e-8)))
     print(f"grad worst rel diff {worst:.2e}")
     assert worst < 3e-2, worst
+
+    # folded dropout, PRNG mode: the block writes the inverted-dropout copy
+    keep = 0.8
+    seed = jnp.asarray([97, 53], jnp.int32)
+    yd = np.asarray(input_block_fused(proj, norm, x, bf16=True,
+                                      out_keep=keep, out_seed=seed))
+    kept = yd != 0.0
+    frac = 1.0 - kept.mean()
+    rel = np.max(np.abs(yd[kept] - y_f[kept] / keep)) / (
+        np.max(np.abs(y_f)) + 1e-8)
+    print(f"folded-PRNG dropout: drop frac {frac:.3f} "
+          f"(expect ~{1 - keep:.3f}), kept-value rel err {rel:.2e}")
+    assert abs(frac - (1 - keep)) < 0.05, frac
+    assert rel < 1e-5, rel
     print("fused input block OK on TPU")
 
 
